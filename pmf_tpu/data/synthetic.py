@@ -1,0 +1,84 @@
+"""Synthetic ratings generator for tests and benchmarks.
+
+The reference works on the Food.com Kaggle dataset (not redistributable and
+not present in this environment), so tests and the benchmark synthesize
+ratings with the same shape characteristics: integer 0-5 ratings, long-tail
+user/item activity, every user with >= a few ratings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synth_ratings(
+    n_users: int,
+    n_items: int,
+    n_ratings: int,
+    seed: int = 0,
+    rating_values: tuple = (0, 1, 2, 3, 4, 5),
+    skew: float = 1.2,
+):
+    """Draw (u, i, x) triples with Zipf-ish popularity and a skewed rating
+    distribution (most ratings 4-5, like Food.com).  Duplicate (u, i) pairs
+    are deduplicated (keeping the first), and every user/item index below
+    n_users/n_items is guaranteed at least one rating so inferred dimensions
+    are deterministic."""
+    rng = np.random.default_rng(seed)
+
+    # Long-tail sampling over users and items.
+    u_weights = (1.0 + np.arange(n_users)) ** (-skew / 2)
+    i_weights = (1.0 + np.arange(n_items)) ** (-skew)
+    u_weights /= u_weights.sum()
+    i_weights /= i_weights.sum()
+
+    n_draw = int(n_ratings * 1.3) + n_users + n_items
+    u = rng.choice(n_users, size=n_draw, p=u_weights)
+    i = rng.choice(n_items, size=n_draw, p=i_weights)
+
+    # Guarantee coverage of every index.
+    u[:n_users] = np.arange(n_users)
+    i[:n_users] = rng.integers(0, n_items, size=n_users)
+    u[n_users : n_users + n_items] = rng.integers(0, n_users, size=n_items)
+    i[n_users : n_users + n_items] = np.arange(n_items)
+
+    # Dedup (u, i).
+    key = u.astype(np.int64) * n_items + i
+    _, first = np.unique(key, return_index=True)
+    first.sort()
+    first = first[:n_ratings]
+    u, i = u[first], i[first]
+
+    # Skewed ratings: mostly high, like recipe reviews.
+    probs = np.array([0.05, 0.02, 0.03, 0.08, 0.22, 0.60])
+    probs = probs[: len(rating_values)] / probs[: len(rating_values)].sum()
+    x = rng.choice(np.asarray(rating_values, dtype=np.float64), size=u.shape[0], p=probs)
+
+    order = rng.permutation(u.shape[0])
+    return u[order].astype(np.int64), i[order].astype(np.int64), x[order]
+
+
+def synth_splits(n_users: int, n_items: int, n_ratings: int, seed: int = 0):
+    """Synthesize train/val/test triples with the reference's per-user
+    leave-out flavor: last rating to test, next two to val, rest to train
+    (`/root/reference/src/data/load_data.py:53-56`)."""
+    u, i, x = synth_ratings(n_users, n_items, n_ratings, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+
+    order = np.lexsort((rng.random(u.shape[0]), u))
+    u, i, x = u[order], i[order], x[order]
+
+    # Position of each row within its user group (users are contiguous).
+    _, starts, counts = np.unique(u, return_index=True, return_counts=True)
+    pos_from_end = np.zeros(u.shape[0], dtype=np.int64)
+    for s, c in zip(starts, counts):
+        pos_from_end[s : s + c] = c - 1 - np.arange(c)
+
+    is_test = (pos_from_end == 0) & (np.repeat(counts, counts) >= 4)
+    is_val = (pos_from_end >= 1) & (pos_from_end <= 2) & (np.repeat(counts, counts) >= 4)
+    is_train = ~(is_test | is_val)
+
+    def pick(m):
+        return u[m], i[m], x[m]
+
+    return pick(is_train), pick(is_val), pick(is_test)

@@ -1,0 +1,9 @@
+from pmf_tpu.eval.metrics import (
+    rmse,
+    mae,
+    macro_mae,
+    gaussian_log_predictive_likelihood,
+    poisson_log_predictive_likelihood,
+    masked_rmse,
+    masked_macro_mae,
+)

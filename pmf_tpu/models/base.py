@@ -1,0 +1,159 @@
+"""Shared model machinery: the host-side fit loop around jitted CAVI sweeps.
+
+The reference runs Python-loop CAVI iterations with per-iteration validation
+RMSE and model-specific early-stopping rules
+(`/root/reference/src/models/gaussian_mf_cavi.py:183-198`,
+`/root/reference/src/models/poisson_mf_cavi.py:202-217`).  Here each CAVI
+iteration is ONE jitted sweep over the whole COO shard; the early-stop
+decision stays on host between sweeps (data-dependent control flow does not
+belong inside jit).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmf_tpu.data.coo import EvalSet, RatingsCOO, build_eval_set, build_ratings
+from pmf_tpu.eval.metrics import masked_macro_mae, masked_rmse
+
+
+def as_triples(data) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Accept a pandas DataFrame with columns u/i/rating, a dict, or a
+    (u, i, x) tuple of arrays; return numpy triples."""
+    if isinstance(data, tuple) and len(data) == 3:
+        u, i, x = data
+    elif hasattr(data, "columns"):  # pandas DataFrame
+        u = data["u"].to_numpy()
+        i = data["i"].to_numpy()
+        x = data["rating"].to_numpy()
+    elif isinstance(data, dict):
+        u, i, x = data["u"], data["i"], data["rating"]
+    else:
+        raise TypeError(f"Unsupported ratings container: {type(data)!r}")
+    return (
+        np.asarray(u, dtype=np.int64),
+        np.asarray(i, dtype=np.int64),
+        np.asarray(x, dtype=np.float64),
+    )
+
+
+class FitLoop:
+    """Drives jitted sweeps with host-side early stopping.
+
+    ``stop_rule(prev_rmse, rmse, tol) -> bool`` encodes the per-model rule:
+      * Gaussian: stop iff 0 <= improvement < tol
+        (`gaussian_mf_cavi.py:193`)
+      * Poisson/HPF: stop iff tol is not None and improvement < tol —
+        including regressions (`poisson_mf_cavi.py:213`).
+    """
+
+    def __init__(
+        self,
+        sweep_fn: Callable,
+        eval_fn: Optional[Callable],
+        max_iter: int,
+        tol,
+        stop_rule: Callable,
+        verbose: bool = False,
+        name: str = "CAVI",
+    ):
+        self.sweep_fn = sweep_fn
+        self.eval_fn = eval_fn
+        self.max_iter = max_iter
+        self.tol = tol
+        self.stop_rule = stop_rule
+        self.verbose = verbose
+        self.name = name
+        self.history: list[dict] = []
+
+    def run(self, state, data: RatingsCOO, val: Optional[EvalSet]):
+        prev_val_rmse = None
+        for it in range(1, self.max_iter + 1):
+            state = self.sweep_fn(state, data)
+            record = {"iteration": it}
+            if val is not None and self.eval_fn is not None:
+                val_rmse, val_macro = self.eval_fn(state, val)
+                val_rmse = float(val_rmse)
+                record.update(val_rmse=val_rmse, val_macro_mae=float(val_macro))
+                if self.verbose:
+                    print(
+                        f"{self.name} iter {it}/{self.max_iter} | "
+                        f"val RMSE {val_rmse:.4f} | macro-MAE {float(val_macro):.4f}",
+                        flush=True,
+                    )
+                self.history.append(record)
+                if prev_val_rmse is not None and self.stop_rule(
+                    prev_val_rmse, val_rmse, self.tol
+                ):
+                    if self.verbose:
+                        print("Early stopping on validation improvement.", flush=True)
+                    break
+                prev_val_rmse = val_rmse
+            else:
+                self.history.append(record)
+        return state
+
+
+def gaussian_stop_rule(prev: float, cur: float, tol) -> bool:
+    improvement = prev - cur
+    return tol is not None and 0.0 <= improvement < tol
+
+
+def poisson_stop_rule(prev: float, cur: float, tol) -> bool:
+    improvement = prev - cur
+    return tol is not None and improvement < tol
+
+
+class FactorModel:
+    """Base for the CAVI models: boundary conversion, prediction, metrics."""
+
+    def __init__(self, config):
+        self.config = config
+        self.n_users: Optional[int] = None
+        self.n_items: Optional[int] = None
+        self.state = None
+        self.fit_history: list[dict] = []
+
+    # -- to be provided by subclasses ------------------------------------
+    def _point_estimates(self) -> Tuple[jax.Array, jax.Array]:
+        """Return (user_factors, item_factors) point estimates (means)."""
+        raise NotImplementedError
+
+    def _predict_valid(self, theta_rows, beta_rows, u, i):
+        """Prediction for in-range rows given gathered factor rows."""
+        return jnp.sum(theta_rows * beta_rows, axis=-1)
+
+    # -- shared plumbing ---------------------------------------------------
+    @property
+    def _dtype(self):
+        return np.dtype(getattr(self.config, "dtype", "float32"))
+
+    def _build_train(self, train) -> RatingsCOO:
+        u, i, x = as_triples(train)
+        return build_ratings(u, i, x, dtype=self._dtype)
+
+    def _build_eval(self, df) -> EvalSet:
+        u, i, x = as_triples(df)
+        return build_eval_set(u, i, x, self.n_users, self.n_items, dtype=self._dtype)
+
+    def predict(self, user_ids, item_ids) -> np.ndarray:
+        """Out-of-range (unseen) pairs predict 0, matching the reference
+        (`/root/reference/src/models/poisson_mf_cavi.py:221-241`)."""
+        u = np.asarray(user_ids, dtype=np.int64)
+        i = np.asarray(item_ids, dtype=np.int64)
+        valid = (u < self.n_users) & (i < self.n_items) & (u >= 0) & (i >= 0)
+        theta, beta = self._point_estimates()
+        theta = np.asarray(theta)
+        beta = np.asarray(beta)
+        preds = np.zeros(len(u), dtype=np.float64)
+        if valid.any():
+            rows_t = theta[u[valid]]
+            rows_b = beta[i[valid]]
+            preds[valid] = np.asarray(
+                self._predict_valid(rows_t, rows_b, u[valid], i[valid])
+            ).astype(np.float64)
+        return preds

@@ -1,0 +1,337 @@
+"""Gaussian matrix factorization with mean-field CAVI, optional biases.
+
+Unifies the reference's two Gaussian variants:
+  * plain:  x_ij ~ N(theta_i^T beta_j, sigma^2)
+    (`/root/reference/src/models/gaussian_mf_cavi.py`)
+  * biased: r_ij ~ N(mu + b_i + b_j + theta_i^T beta_j, sigma^2)
+    (`/root/reference/src/models/gaussian_mf_cavi_bias.py` — the variant
+    used by tune/compare/train).
+
+TPU formulation (one jitted sweep per CAVI iteration):
+  * The per-user precision sum S_i = sum_{j in Omega_i} E[beta_j beta_j^T]
+    is: form A_j = V_j + m_j m_j^T once per block (n_items, K, K), gather A
+    rows along the by-user edge list, sorted-segment-sum back to users.
+  * All n_users K x K solves run as ONE batched Cholesky
+    (`pmf_tpu.ops.solve`), replacing the reference's per-row
+    ``np.linalg.inv`` loop (`gaussian_mf_cavi.py:121-147`).
+  * Block order matches the reference exactly: theta -> beta
+    [-> user bias -> item bias]; each block reads the previous block's
+    freshly written values, and within a block all rows are independent,
+    which is why the whole block batches.
+  * Rows with no observations keep their current values (the reference
+    ``continue``s past them — `gaussian_mf_cavi.py:123-124`), unlike the
+    Poisson family which resets empty rows to the prior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmf_tpu.data.coo import EvalSet, RatingsCOO
+from pmf_tpu.eval.metrics import masked_macro_mae, masked_rmse
+from pmf_tpu.models.base import FactorModel, FitLoop, as_triples, gaussian_stop_rule
+from pmf_tpu.ops.segment import edge_dot, gather_rows, sorted_segment_sum
+from pmf_tpu.ops.solve import batched_psd_inverse
+
+
+@dataclasses.dataclass
+class GaussianMFConfig:
+    n_factors: int = 10
+    sigma2: float = 1.0
+    eta_theta2: float = 1.0
+    eta_beta2: float = 1.0
+    eta_bias2: float = 1.0
+    max_iter: int = 20
+    tol: Optional[float] = 1e-3
+    random_state: int = 42
+    verbose: bool = True
+    use_bias: bool = True  # True == reference's gaussian_mf_cavi_bias variant
+    dtype: str = "float32"
+
+
+def init_state(n_users: int, n_items: int, cfg: GaussianMFConfig) -> dict:
+    """Host-side init matching the reference RNG draws exactly
+    (`gaussian_mf_cavi_bias.py:52-67`): default_rng(seed), theta then beta
+    standard normals scaled by 0.1, identity covariances, zero biases."""
+    rng = np.random.default_rng(cfg.random_state)
+    K = cfg.n_factors
+    dt = np.dtype(cfg.dtype)
+    m_theta = (0.1 * rng.standard_normal((n_users, K))).astype(dt)
+    m_beta = (0.1 * rng.standard_normal((n_items, K))).astype(dt)
+    eye = np.eye(K, dtype=dt)
+    state = {
+        "m_theta": jnp.asarray(m_theta),
+        "V_theta": jnp.asarray(np.broadcast_to(eye, (n_users, K, K)).copy()),
+        "m_beta": jnp.asarray(m_beta),
+        "V_beta": jnp.asarray(np.broadcast_to(eye, (n_items, K, K)).copy()),
+        "b_user": jnp.zeros((n_users,), dtype=dt),
+        "b_item": jnp.zeros((n_items,), dtype=dt),
+    }
+    return state
+
+
+def _factor_block(
+    m_self,
+    V_self,
+    m_other,
+    V_other,
+    b_self,
+    b_other,
+    self_ids,
+    other_ids,
+    x,
+    counts,
+    eta2: float,
+    sigma2: float,
+    n_self: int,
+    use_bias: bool,
+):
+    """One factor coordinate block (theta given beta, or beta given theta).
+
+    Edges must be sorted by ``self_ids``.  Returns updated (m_self, V_self).
+    """
+    K = m_self.shape[-1]
+    dtype = m_self.dtype
+
+    # A_j = V_j + m_j m_j^T per OTHER row, then gathered per edge.
+    A_other = V_other + m_other[:, :, None] * m_other[:, None, :]
+    A_edges = gather_rows(A_other.reshape(-1, K * K), other_ids)
+    S = sorted_segment_sum(A_edges, self_ids, n_self).reshape(n_self, K, K)
+
+    m_other_edges = gather_rows(m_other, other_ids)
+    if use_bias:
+        resid = x - gather_rows(b_self, self_ids) - gather_rows(b_other, other_ids)
+    else:
+        resid = x
+    w = sorted_segment_sum(m_other_edges * resid[:, None], self_ids, n_self)
+
+    eye = jnp.eye(K, dtype=dtype)
+    precision = eye / jnp.asarray(eta2, dtype) + S / jnp.asarray(sigma2, dtype)
+    V_new = batched_psd_inverse(precision)
+    m_new = jnp.einsum("rkl,rl->rk", V_new, w) / jnp.asarray(sigma2, dtype)
+
+    has = (counts > 0)[:, None]
+    m_out = jnp.where(has, m_new, m_self)
+    V_out = jnp.where(has[:, :, None], V_new, V_self)
+    return m_out, V_out
+
+
+def _bias_block(
+    b_self,
+    b_other,
+    m_self,
+    m_other,
+    self_ids,
+    other_ids,
+    x,
+    counts,
+    eta_bias2: float,
+    sigma2: float,
+    n_self: int,
+):
+    """Scalar bias coordinate block (`gaussian_mf_cavi_bias.py:206-263`):
+    closed-form Gaussian update with precision 1/eta_b^2 + N/sigma^2 on the
+    residual r - b_other - <theta, beta>."""
+    dtype = b_self.dtype
+    interaction = edge_dot(gather_rows(m_self, self_ids), gather_rows(m_other, other_ids))
+    resid = x - gather_rows(b_other, other_ids) - interaction
+    s = sorted_segment_sum(resid, self_ids, n_self)
+    prec = 1.0 / jnp.asarray(eta_bias2, dtype) + counts / jnp.asarray(sigma2, dtype)
+    b_new = s / (prec * jnp.asarray(sigma2, dtype))
+    return jnp.where(counts > 0, b_new, b_self)
+
+
+@partial(jax.jit, static_argnames=("n_factors", "use_bias"))
+def sweep(
+    state: dict,
+    data: RatingsCOO,
+    sigma2: float,
+    eta_theta2: float,
+    eta_beta2: float,
+    eta_bias2: float,
+    n_factors: int,
+    use_bias: bool,
+) -> dict:
+    """One full CAVI iteration: theta block, beta block, then (optionally)
+    user/item bias blocks, preserving the reference's block order and
+    read-after-write structure."""
+    del n_factors  # shape info lives in the arrays; kept static for clarity
+    m_theta, V_theta = _factor_block(
+        state["m_theta"],
+        state["V_theta"],
+        state["m_beta"],
+        state["V_beta"],
+        state["b_user"],
+        state["b_item"],
+        data.u_by_u,
+        data.i_by_u,
+        data.x_by_u,
+        data.user_counts,
+        eta_theta2,
+        sigma2,
+        data.n_users,
+        use_bias,
+    )
+    m_beta, V_beta = _factor_block(
+        state["m_beta"],
+        state["V_beta"],
+        m_theta,
+        V_theta,
+        state["b_item"],
+        state["b_user"],
+        data.i_by_i,
+        data.u_by_i,
+        data.x_by_i,
+        data.item_counts,
+        eta_beta2,
+        sigma2,
+        data.n_items,
+        use_bias,
+    )
+    b_user = state["b_user"]
+    b_item = state["b_item"]
+    if use_bias:
+        b_user = _bias_block(
+            b_user,
+            b_item,
+            m_theta,
+            m_beta,
+            data.u_by_u,
+            data.i_by_u,
+            data.x_by_u,
+            data.user_counts,
+            eta_bias2,
+            sigma2,
+            data.n_users,
+        )
+        b_item = _bias_block(
+            b_item,
+            b_user,
+            m_beta,
+            m_theta,
+            data.i_by_i,
+            data.u_by_i,
+            data.x_by_i,
+            data.item_counts,
+            eta_bias2,
+            sigma2,
+            data.n_items,
+        )
+    return {
+        "m_theta": m_theta,
+        "V_theta": V_theta,
+        "m_beta": m_beta,
+        "V_beta": V_beta,
+        "b_user": b_user,
+        "b_item": b_item,
+    }
+
+
+@partial(jax.jit, static_argnames=("use_bias",))
+def eval_metrics(state: dict, ev: EvalSet, use_bias: bool):
+    """Centered-scale validation RMSE + macro-MAE over in-range rows only
+    (the Gaussian reference filters out-of-range rows before evaluating,
+    `gaussian_mf_cavi_bias.py:318-333`; adding the global mean to both sides
+    leaves both metrics unchanged)."""
+    theta = gather_rows(state["m_theta"], ev.u)
+    beta = gather_rows(state["m_beta"], ev.i)
+    pred = edge_dot(theta, beta)
+    if use_bias:
+        pred = pred + gather_rows(state["b_user"], ev.u) + gather_rows(state["b_item"], ev.i)
+    r = masked_rmse(ev.x, pred, ev.valid)
+    mm = masked_macro_mae(ev.x, pred, ev.valid, ev.class_id, ev.n_classes)
+    return r, mm
+
+
+class GaussianMF(FactorModel):
+    """Reference-compatible facade: fit/predict/evaluate on DataFrames."""
+
+    def __init__(self, config: GaussianMFConfig):
+        super().__init__(config)
+        self.global_mean = 0.0
+
+    def fit(self, train_df, val_df=None, global_mean: float = 0.0):
+        cfg = self.config
+        self.global_mean = float(global_mean)
+        data = self._build_train(train_df)
+        self.n_users, self.n_items = data.n_users, data.n_items
+        if cfg.verbose:
+            print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
+        state = init_state(self.n_users, self.n_items, cfg)
+
+        def sweep_fn(s, d):
+            return sweep(
+                s,
+                d,
+                cfg.sigma2,
+                cfg.eta_theta2,
+                cfg.eta_beta2,
+                cfg.eta_bias2,
+                cfg.n_factors,
+                cfg.use_bias,
+            )
+
+        def eval_fn(s, ev):
+            return eval_metrics(s, ev, cfg.use_bias)
+
+        val = self._build_eval(val_df) if val_df is not None else None
+        loop = FitLoop(
+            sweep_fn,
+            eval_fn,
+            cfg.max_iter,
+            cfg.tol,
+            gaussian_stop_rule,
+            verbose=cfg.verbose,
+            name="GaussianMF",
+        )
+        self.state = loop.run(state, data, val)
+        self.fit_history = loop.history
+        return self
+
+    # -- predictions ------------------------------------------------------
+    def _point_estimates(self):
+        return self.state["m_theta"], self.state["m_beta"]
+
+    def predict(self, user_ids, item_ids, global_mean: float = 0.0) -> np.ndarray:
+        u = np.asarray(user_ids, dtype=np.int64)
+        i = np.asarray(item_ids, dtype=np.int64)
+        valid = (u < self.n_users) & (i < self.n_items) & (u >= 0) & (i >= 0)
+        theta = np.asarray(self.state["m_theta"], dtype=np.float64)
+        beta = np.asarray(self.state["m_beta"], dtype=np.float64)
+        preds = np.zeros(len(u), dtype=np.float64)
+        if valid.any():
+            p = np.sum(theta[u[valid]] * beta[i[valid]], axis=1)
+            if self.config.use_bias:
+                bu = np.asarray(self.state["b_user"], dtype=np.float64)
+                bi = np.asarray(self.state["b_item"], dtype=np.float64)
+                p = p + bu[u[valid]] + bi[i[valid]]
+            preds[valid] = p
+        return preds + global_mean
+
+    def evaluate_rmse(self, df, global_mean: float = 0.0) -> float:
+        from pmf_tpu.eval.metrics import rmse
+
+        u, i, x = as_triples(df)
+        mask = (u < self.n_users) & (i < self.n_items)
+        if not mask.any():
+            return float("nan")
+        y_true = x[mask] + global_mean
+        y_pred = self.predict(u[mask], i[mask], global_mean)
+        return rmse(y_true, y_pred)
+
+    def evaluate_macro_mae(self, df, global_mean: float = 0.0) -> float:
+        from pmf_tpu.eval.metrics import macro_mae
+
+        u, i, x = as_triples(df)
+        mask = (u < self.n_users) & (i < self.n_items)
+        if not mask.any():
+            return float("nan")
+        y_true = x[mask] + global_mean
+        y_pred = self.predict(u[mask], i[mask], global_mean)
+        return macro_mae(y_true, y_pred)

@@ -1,0 +1,244 @@
+"""HPF by minibatch MAP/SGD — the TPU replacement for the reference's
+PyTorch model (`/root/reference/src/models/hpf_pytorch.py`).
+
+Same generative model as :mod:`pmf_tpu.models.hpf`, optimized by Adam on
+softplus-constrained unconstrained parameters:
+
+  * Poisson NLL  sum(lambda - x log lambda)  with lambda clamped >= 1e-6
+    (`hpf_pytorch.py:78-83`).
+  * Exact negative log-Gamma prior terms for theta|xi, beta|eta, xi, eta
+    (`hpf_pytorch.py:145-180`).
+  * Frequency-scaled priors: each batch occurrence of user u weighs its
+    prior by 1/count(u), so the prior for every entity is applied exactly
+    once per epoch (`hpf_pytorch.py:129-139`).
+
+TPU formulation: one jitted `lax.scan` over the epoch's shuffled batches
+(optax Adam), with the last partial batch padded + masked so every epoch
+covers every rating exactly once and shapes stay static.  Batch sizes
+should be much larger than the reference's 1024-4096 — the gathers and
+VPU elementwise work saturate only with wide batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pmf_tpu.data.coo import EvalSet
+from pmf_tpu.eval.metrics import masked_macro_mae, masked_rmse
+from pmf_tpu.models.base import FactorModel, as_triples
+from pmf_tpu.ops.segment import edge_dot, gather_rows
+
+LAMBDA_FLOOR = 1e-6
+
+
+@dataclasses.dataclass
+class HPFMapConfig:
+    n_factors: int = 20
+    a: float = 0.3
+    a_prime: float = 1.0
+    b_prime: float = 1.0
+    c: float = 0.3
+    c_prime: float = 1.0
+    d_prime: float = 1.0
+    lr: float = 0.001
+    batch_size: int = 1024
+    epochs: int = 20
+    device: str = "tpu"  # kept for best_hyperparams.txt compatibility; unused
+    verbose: bool = True
+    random_state: int = 42
+    dtype: str = "float32"
+
+
+def init_params(n_users: int, n_items: int, cfg: HPFMapConfig) -> dict:
+    """Gaussian(0, 0.1) init of the unconstrained parameters.  The reference
+    uses torch.randn without an explicit seed (`hpf_pytorch.py:39-48`); here
+    init is deterministic via numpy default_rng(random_state)."""
+    rng = np.random.default_rng(cfg.random_state)
+    K = cfg.n_factors
+    dt = np.dtype(cfg.dtype)
+    return {
+        "theta_u": jnp.asarray((0.1 * rng.standard_normal((n_users, K))).astype(dt)),
+        "beta_u": jnp.asarray((0.1 * rng.standard_normal((n_items, K))).astype(dt)),
+        "xi_u": jnp.asarray((0.1 * rng.standard_normal(n_users)).astype(dt)),
+        "eta_u": jnp.asarray((0.1 * rng.standard_normal(n_items)).astype(dt)),
+    }
+
+
+def batch_loss(params, u, i, x, mask, user_scale, item_scale, cfg_scalars):
+    """Masked MAP loss of one batch; ``mask`` zeroes padded rows."""
+    a, a_prime, b_prime, c, c_prime, d_prime = cfg_scalars
+    theta = jax.nn.softplus(gather_rows(params["theta_u"], u))
+    beta = jax.nn.softplus(gather_rows(params["beta_u"], i))
+    xi = jax.nn.softplus(gather_rows(params["xi_u"], u))
+    eta = jax.nn.softplus(gather_rows(params["eta_u"], i))
+    m = mask.astype(theta.dtype)
+
+    lam = jnp.maximum(edge_dot(theta, beta), LAMBDA_FLOOR)
+    nll = jnp.sum(m * (lam - x * jnp.log(lam)))
+
+    u_scale = gather_rows(user_scale, u) * m
+    i_scale = gather_rows(item_scale, i) * m
+
+    # -log Gamma(theta | a, xi) summed over K, terms involving theta and xi.
+    lp_theta = jnp.sum(
+        -a * jnp.log(xi)[:, None] + xi[:, None] * theta - (a - 1.0) * jnp.log(theta),
+        axis=1,
+    )
+    lp_beta = jnp.sum(
+        -c * jnp.log(eta)[:, None] + eta[:, None] * beta - (c - 1.0) * jnp.log(beta),
+        axis=1,
+    )
+    lp_xi = -(a_prime - 1.0) * jnp.log(xi) + b_prime * xi
+    lp_eta = -(c_prime - 1.0) * jnp.log(eta) + d_prime * eta
+
+    prior = (
+        jnp.sum(lp_theta * u_scale)
+        + jnp.sum(lp_beta * i_scale)
+        + jnp.sum(lp_xi * u_scale)
+        + jnp.sum(lp_eta * i_scale)
+    )
+    return nll + prior
+
+
+@partial(jax.jit, static_argnames=("optimizer",), donate_argnums=(0, 1))
+def train_epoch(
+    params,
+    opt_state,
+    key,
+    u_all,
+    i_all,
+    x_all,
+    mask_all,
+    user_scale,
+    item_scale,
+    cfg_scalars,
+    optimizer,
+):
+    """One epoch: shuffle, batch, scan Adam steps.  Arrays arrive already
+    padded to n_batches x batch_size."""
+    n = u_all.shape[0]
+    perm = jax.random.permutation(key, n)
+    ub = u_all[perm].reshape(mask_all.shape)
+    ib = i_all[perm].reshape(mask_all.shape)
+    xb = x_all[perm].reshape(mask_all.shape)
+    mb = mask_all.reshape(-1)[perm].reshape(mask_all.shape)
+
+    def step(carry, batch):
+        p, s = carry
+        bu, bi, bx, bm = batch
+        loss, grads = jax.value_and_grad(batch_loss)(
+            p, bu, bi, bx, bm, user_scale, item_scale, cfg_scalars
+        )
+        updates, s = optimizer.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), (ub, ib, xb, mb))
+    return params, opt_state, jnp.sum(losses)
+
+
+@jax.jit
+def eval_metrics(params: dict, ev: EvalSet):
+    theta = jax.nn.softplus(params["theta_u"])
+    beta = jax.nn.softplus(params["beta_u"])
+    pred = edge_dot(gather_rows(theta, ev.u), gather_rows(beta, ev.i))
+    pred = jnp.where(ev.valid, pred, 0.0)
+    r = masked_rmse(ev.x, pred, ev.real)
+    mm = masked_macro_mae(ev.x, pred, ev.real, ev.class_id, ev.n_classes)
+    return r, mm
+
+
+class HPFMap(FactorModel):
+    """Reference-compatible facade for the MAP/SGD HPF path."""
+
+    def fit(self, train_df, val_df=None):
+        cfg = self.config
+        u, i, x = as_triples(train_df)
+        self.n_users = int(u.max()) + 1
+        self.n_items = int(i.max()) + 1
+        if cfg.verbose:
+            print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
+
+        dt = self._dtype
+        nnz = len(u)
+        B = cfg.batch_size
+        n_batches = max((nnz + B - 1) // B, 1)
+        n_pad = n_batches * B
+
+        def pad(arr, sentinel, dtype):
+            out = np.full((n_pad,), sentinel, dtype=dtype)
+            out[:nnz] = arr
+            return jnp.asarray(out)
+
+        u_all = pad(u, 0, np.int32)
+        i_all = pad(i, 0, np.int32)
+        x_all = pad(x, 0.0, dt)
+        mask_all = pad(np.ones(nnz, dtype=bool), False, bool).reshape(n_batches, B)
+
+        # 1/count scaling with the reference's 1e-6 guard (`hpf_pytorch.py:33-35`).
+        user_counts = np.bincount(u, minlength=self.n_users)
+        item_counts = np.bincount(i, minlength=self.n_items)
+        user_scale = jnp.asarray(1.0 / (user_counts + 1e-6), dtype=dt)
+        item_scale = jnp.asarray(1.0 / (item_counts + 1e-6), dtype=dt)
+
+        cfg_scalars = tuple(
+            float(v)
+            for v in (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
+        )
+
+        params = init_params(self.n_users, self.n_items, cfg)
+        optimizer = optax.adam(cfg.lr)
+        opt_state = optimizer.init(params)
+
+        val = self._build_eval(val_df) if val_df is not None else None
+        key = jax.random.key(cfg.random_state)
+        self.fit_history = []
+        self.best_val_rmse = float("inf")
+        for epoch in range(1, cfg.epochs + 1):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_epoch(
+                params, opt_state, sub, u_all, i_all, x_all, mask_all,
+                user_scale, item_scale, cfg_scalars, optimizer,
+            )
+            record = {"epoch": epoch, "train_loss": float(loss)}
+            if val is not None:
+                val_rmse, val_macro = eval_metrics(params, val)
+                record.update(val_rmse=float(val_rmse), val_macro_mae=float(val_macro))
+                self.best_val_rmse = min(self.best_val_rmse, float(val_rmse))
+                if cfg.verbose:
+                    print(
+                        f"HPFMap epoch {epoch}/{cfg.epochs} | loss {float(loss):.1f} | "
+                        f"val RMSE {float(val_rmse):.4f}",
+                        flush=True,
+                    )
+            elif cfg.verbose:
+                print(f"HPFMap epoch {epoch}/{cfg.epochs} | loss {float(loss):.1f}", flush=True)
+            self.fit_history.append(record)
+
+        self.state = params
+        return self
+
+    def _point_estimates(self):
+        return jax.nn.softplus(self.state["theta_u"]), jax.nn.softplus(self.state["beta_u"])
+
+    def predict(self, user_ids, item_ids) -> np.ndarray:
+        return super().predict(user_ids, item_ids)
+
+    def evaluate_rmse(self, df) -> float:
+        from pmf_tpu.eval.metrics import rmse
+
+        u, i, x = as_triples(df)
+        return rmse(x, self.predict(u, i))
+
+    def evaluate_macro_mae(self, df) -> float:
+        from pmf_tpu.eval.metrics import macro_mae
+
+        u, i, x = as_triples(df)
+        return macro_mae(x, self.predict(u, i))

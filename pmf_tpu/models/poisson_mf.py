@@ -1,0 +1,270 @@
+"""Poisson matrix factorization with mean-field CAVI, optional extended
+user-activity/item-popularity scalar factors.
+
+Unifies the reference's two Poisson variants:
+  * plain:    x_ij ~ Poisson(theta_i^T beta_j), theta, beta ~ Gamma(a0, b0)
+    (`/root/reference/src/models/poisson_mf_cavi.py`)
+  * extended: x_ij ~ Poisson(phi_u * psi_i * theta_u^T beta_i) with scalar
+    Gamma factors phi (user activity) and psi (item popularity)
+    (`/root/reference/src/models/poisson_mf_extended_cavi.py`)
+
+TPU formulation: each coordinate block is one fused edge sweep — gather
+factor rows along sorted COO edges, compute the multinomial allocation
+``x * (theta_k beta_k) / (theta^T beta)`` per edge, and sorted-segment-sum
+shapes/rates back to rows.  Rows with no observations reset to the prior
+every iteration, matching `poisson_mf_cavi.py:137-140`.
+
+The extended variant's in-loop ("Gauss-Seidel") refreshes
+(`poisson_mf_extended_cavi.py:153-164`) are PER-ROW local — a row's phi
+update reads only that row's freshly updated theta — so the batched
+two-pass form below (update all thetas, recompute edge dots, then update
+all phis) is numerically identical to the reference's sequential loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmf_tpu.data.coo import EvalSet, RatingsCOO
+from pmf_tpu.eval.metrics import masked_macro_mae, masked_rmse
+from pmf_tpu.models.base import FactorModel, FitLoop, as_triples, poisson_stop_rule
+from pmf_tpu.ops.segment import edge_dot, gather_rows, sorted_segment_sum
+
+RATE_FLOOR = 1e-10  # reference floors the rate estimate (`poisson_mf_cavi.py:153`)
+
+
+@dataclasses.dataclass
+class PoissonMFConfig:
+    n_factors: int = 20
+    a0: float = 0.3
+    b0: float = 1.0
+    max_iter: int = 100
+    tol: Optional[float] = 1e-4
+    random_state: int = 42
+    verbose: bool = True
+    extended: bool = False  # True == reference's poisson_mf_extended_cavi
+    dtype: str = "float32"
+
+
+def init_state(n_users: int, n_items: int, cfg: PoissonMFConfig) -> dict:
+    """Host-side init matching the reference RNG draw order exactly:
+    plain (`poisson_mf_cavi.py:50-71`): a_theta, a_beta gamma-noised;
+    extended (`poisson_mf_extended_cavi.py:54-74`): a_theta, a_beta, a_phi,
+    a_psi in that order; all rates start at b0."""
+    rng = np.random.default_rng(cfg.random_state)
+    K = cfg.n_factors
+    dt = np.dtype(cfg.dtype)
+    a0, b0 = cfg.a0, cfg.b0
+
+    a_theta = (a0 + rng.gamma(1.0, 0.1, size=(n_users, K))).astype(dt)
+    a_beta = (a0 + rng.gamma(1.0, 0.1, size=(n_items, K))).astype(dt)
+    state = {
+        "a_theta": jnp.asarray(a_theta),
+        "b_theta": jnp.full((n_users, K), b0, dtype=dt),
+        "a_beta": jnp.asarray(a_beta),
+        "b_beta": jnp.full((n_items, K), b0, dtype=dt),
+    }
+    if cfg.extended:
+        a_phi = (a0 + rng.gamma(1.0, 0.1, size=n_users)).astype(dt)
+        a_psi = (a0 + rng.gamma(1.0, 0.1, size=n_items)).astype(dt)
+        state.update(
+            a_phi=jnp.asarray(a_phi),
+            b_phi=jnp.full((n_users,), b0, dtype=dt),
+            a_psi=jnp.asarray(a_psi),
+            b_psi=jnp.full((n_items,), b0, dtype=dt),
+        )
+    return state
+
+
+def _plain_block(E_self, E_other, self_ids, other_ids, x, counts, a0, b0, n_self):
+    """One plain-Poisson coordinate block: allocation + shape/rate segment
+    sums.  Empty rows reset to the (a0, b0) prior."""
+    dtype = E_self.dtype
+    self_rows = gather_rows(E_self, self_ids)
+    other_rows = gather_rows(E_other, other_ids)
+    rate = jnp.maximum(edge_dot(self_rows, other_rows), jnp.asarray(RATE_FLOOR, dtype))
+    alloc = (x / rate)[:, None] * self_rows * other_rows
+    a_new = a0 + sorted_segment_sum(alloc, self_ids, n_self)
+    b_new = b0 + sorted_segment_sum(other_rows, self_ids, n_self)
+    has = (counts > 0)[:, None]
+    a_out = jnp.where(has, a_new, jnp.asarray(a0, dtype))
+    b_out = jnp.where(has, b_new, jnp.asarray(b0, dtype))
+    return a_out, b_out
+
+
+def _extended_block(
+    E_self,
+    s_self,
+    E_other,
+    s_other,
+    self_ids,
+    other_ids,
+    x,
+    counts,
+    a0,
+    b0,
+    n_self,
+):
+    """One extended-Poisson coordinate block updating both the K-factor row
+    (theta or beta) and its scalar activity factor (phi or psi).
+
+    Mirrors `poisson_mf_extended_cavi.py:110-164`: the factor allocation
+    divides by the UNWEIGHTED dot product (scalars cancel), the factor rate
+    is the scalar-weighted sum of other rows, and the scalar's rate uses the
+    freshly updated factor row (per-row Gauss-Seidel refresh).
+    """
+    dtype = E_self.dtype
+    self_rows = gather_rows(E_self, self_ids)
+    other_rows = gather_rows(E_other, other_ids)
+    s_other_edges = gather_rows(s_other, other_ids)
+
+    dot = jnp.maximum(edge_dot(self_rows, other_rows), jnp.asarray(RATE_FLOOR, dtype))
+    alloc = (x / dot)[:, None] * self_rows * other_rows
+    a_new = a0 + sorted_segment_sum(alloc, self_ids, n_self)
+    b_new = b0 + sorted_segment_sum(other_rows * s_other_edges[:, None], self_ids, n_self)
+    has = (counts > 0)[:, None]
+    a_fac = jnp.where(has, a_new, jnp.asarray(a0, dtype))
+    b_fac = jnp.where(has, b_new, jnp.asarray(b0, dtype))
+    E_fac = a_fac / b_fac
+
+    # Scalar factor: shape a0 + sum x; rate uses the UPDATED factor row.
+    a_s_new = a0 + sorted_segment_sum(x, self_ids, n_self)
+    dot_new = edge_dot(gather_rows(E_fac, self_ids), other_rows)
+    b_s_new = b0 + sorted_segment_sum(s_other_edges * dot_new, self_ids, n_self)
+    has1 = counts > 0
+    a_s = jnp.where(has1, a_s_new, jnp.asarray(a0, dtype))
+    b_s = jnp.where(has1, b_s_new, jnp.asarray(b0, dtype))
+    return a_fac, b_fac, a_s, b_s
+
+
+@partial(jax.jit, static_argnames=("extended",))
+def sweep(state: dict, data: RatingsCOO, a0: float, b0: float, extended: bool) -> dict:
+    """One full CAVI iteration: user block then item block, expectations
+    refreshed between blocks exactly as the reference does
+    (`poisson_mf_cavi.py:167,197`)."""
+    E_theta = state["a_theta"] / state["b_theta"]
+    E_beta = state["a_beta"] / state["b_beta"]
+
+    if not extended:
+        a_theta, b_theta = _plain_block(
+            E_theta, E_beta, data.u_by_u, data.i_by_u, data.x_by_u,
+            data.user_counts, a0, b0, data.n_users,
+        )
+        E_theta = a_theta / b_theta
+        a_beta, b_beta = _plain_block(
+            E_beta, E_theta, data.i_by_i, data.u_by_i, data.x_by_i,
+            data.item_counts, a0, b0, data.n_items,
+        )
+        return {"a_theta": a_theta, "b_theta": b_theta, "a_beta": a_beta, "b_beta": b_beta}
+
+    E_phi = state["a_phi"] / state["b_phi"]
+    E_psi = state["a_psi"] / state["b_psi"]
+    a_theta, b_theta, a_phi, b_phi = _extended_block(
+        E_theta, E_phi, E_beta, E_psi, data.u_by_u, data.i_by_u, data.x_by_u,
+        data.user_counts, a0, b0, data.n_users,
+    )
+    E_theta = a_theta / b_theta
+    E_phi = a_phi / b_phi
+    a_beta, b_beta, a_psi, b_psi = _extended_block(
+        E_beta, E_psi, E_theta, E_phi, data.i_by_i, data.u_by_i, data.x_by_i,
+        data.item_counts, a0, b0, data.n_items,
+    )
+    return {
+        "a_theta": a_theta,
+        "b_theta": b_theta,
+        "a_beta": a_beta,
+        "b_beta": b_beta,
+        "a_phi": a_phi,
+        "b_phi": b_phi,
+        "a_psi": a_psi,
+        "b_psi": b_psi,
+    }
+
+
+@partial(jax.jit, static_argnames=("extended",))
+def eval_metrics(state: dict, ev: EvalSet, extended: bool):
+    """Validation RMSE + macro-MAE over ALL real rows, out-of-range pairs
+    predicted 0 (reference Poisson/HPF semantics)."""
+    E_theta = state["a_theta"] / state["b_theta"]
+    E_beta = state["a_beta"] / state["b_beta"]
+    pred = edge_dot(gather_rows(E_theta, ev.u), gather_rows(E_beta, ev.i))
+    if extended:
+        pred = pred * gather_rows(state["a_phi"] / state["b_phi"], ev.u)
+        pred = pred * gather_rows(state["a_psi"] / state["b_psi"], ev.i)
+    pred = jnp.where(ev.valid, pred, 0.0)
+    r = masked_rmse(ev.x, pred, ev.real)
+    mm = masked_macro_mae(ev.x, pred, ev.real, ev.class_id, ev.n_classes)
+    return r, mm
+
+
+class PoissonMF(FactorModel):
+    """Reference-compatible facade for plain and extended Poisson MF."""
+
+    def fit(self, train_df, val_df=None):
+        cfg = self.config
+        data = self._build_train(train_df)
+        self.n_users, self.n_items = data.n_users, data.n_items
+        if cfg.verbose:
+            print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
+        state = init_state(self.n_users, self.n_items, cfg)
+
+        def sweep_fn(s, d):
+            return sweep(s, d, cfg.a0, cfg.b0, cfg.extended)
+
+        def eval_fn(s, ev):
+            return eval_metrics(s, ev, cfg.extended)
+
+        val = self._build_eval(val_df) if val_df is not None else None
+        loop = FitLoop(
+            sweep_fn,
+            eval_fn,
+            cfg.max_iter,
+            cfg.tol,
+            poisson_stop_rule,
+            verbose=cfg.verbose,
+            name="PoissonMF" + ("-ext" if cfg.extended else ""),
+        )
+        self.state = loop.run(state, data, val)
+        self.fit_history = loop.history
+        return self
+
+    def _point_estimates(self):
+        return (
+            self.state["a_theta"] / self.state["b_theta"],
+            self.state["a_beta"] / self.state["b_beta"],
+        )
+
+    def predict(self, user_ids, item_ids) -> np.ndarray:
+        u = np.asarray(user_ids, dtype=np.int64)
+        i = np.asarray(item_ids, dtype=np.int64)
+        valid = (u < self.n_users) & (i < self.n_items) & (u >= 0) & (i >= 0)
+        E_theta, E_beta = self._point_estimates()
+        E_theta = np.asarray(E_theta, dtype=np.float64)
+        E_beta = np.asarray(E_beta, dtype=np.float64)
+        preds = np.zeros(len(u), dtype=np.float64)
+        if valid.any():
+            p = np.sum(E_theta[u[valid]] * E_beta[i[valid]], axis=1)
+            if self.config.extended:
+                E_phi = np.asarray(self.state["a_phi"] / self.state["b_phi"], dtype=np.float64)
+                E_psi = np.asarray(self.state["a_psi"] / self.state["b_psi"], dtype=np.float64)
+                p = p * E_phi[u[valid]] * E_psi[i[valid]]
+            preds[valid] = p
+        return preds
+
+    def evaluate_rmse(self, df) -> float:
+        from pmf_tpu.eval.metrics import rmse
+
+        u, i, x = as_triples(df)
+        return rmse(x, self.predict(u, i))
+
+    def evaluate_macro_mae(self, df) -> float:
+        from pmf_tpu.eval.metrics import macro_mae
+
+        u, i, x = as_triples(df)
+        return macro_mae(x, self.predict(u, i))

@@ -1,0 +1,39 @@
+import numpy as np
+
+from pmf_tpu.models.hpf import HPF, HPFConfig
+
+from tests import oracles
+
+
+def test_hpf_parity_vs_oracle(small_ratings):
+    u, i, x = small_ratings
+    x = x + 1.0  # the reference's +1 shift for HPF runs
+    K, n_iter, seed = 6, 4, 13
+    a, a_p, b_p, c, c_p, d_p = 0.3, 0.3, 1.0, 0.3, 0.3, 1.0
+
+    ref = oracles.hpf_cavi(u, i, x, K, a, a_p, b_p, c, c_p, d_p, n_iter, seed)
+
+    cfg = HPFConfig(
+        n_factors=K, a=a, a_prime=a_p, b_prime=b_p, c=c, c_prime=c_p, d_prime=d_p,
+        max_iter=n_iter, tol=None, random_state=seed, verbose=False, dtype="float64",
+    )
+    model = HPF(cfg).fit((u, i, x))
+
+    for key in ("a_theta", "b_theta", "a_beta", "b_beta", "b_xi", "b_eta"):
+        np.testing.assert_allclose(
+            np.asarray(model.state[key]), ref[key], rtol=1e-8, atol=1e-10, err_msg=key
+        )
+
+    pred = model.predict(u[:40], i[:40])
+    expect = np.sum(ref["E_theta"][u[:40]] * ref["E_beta"][i[:40]], axis=1)
+    np.testing.assert_allclose(pred, expect, rtol=1e-8)
+
+
+def test_hpf_converges(small_splits):
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    cfg = HPFConfig(n_factors=8, max_iter=15, tol=None, verbose=False)
+    model = HPF(cfg).fit((tu, ti, tx + 1), (vu, vi, vx + 1))
+    rmses = [h["val_rmse"] for h in model.fit_history]
+    assert np.isfinite(rmses).all()
+    assert rmses[-1] <= rmses[0]
+    assert (model.predict(vu, vi) >= 0).all()
