@@ -4,7 +4,8 @@ oracles are exact."""
 
 import os
 
-# Must be set before jax import.
+# Must be set before jax import.  The environment pre-sets
+# JAX_PLATFORMS=axon (the TPU tunnel); tests must run on 8 fake CPU devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
@@ -12,6 +13,7 @@ if "host_platform_device_count" not in _flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
