@@ -22,6 +22,10 @@ Design (TPU-first, not a port):
     (`pmf_tpu.parallel`).
 """
 
+from pmf_tpu.utils.platform import setup_cache as _setup_cache
+
+_setup_cache()  # persistent compile cache: tunnel compiles are expensive
+
 from pmf_tpu import config as config
 from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
 from pmf_tpu.models.poisson_mf import PoissonMF, PoissonMFConfig

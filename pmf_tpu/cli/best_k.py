@@ -1,0 +1,116 @@
+"""Best-K sweeps — the reference's run_{gaussian_mf,poisson_mf,hpf}_best_k
+scripts (`/root/reference/src/experiments/run_gaussian_mf_best_k.py` etc.):
+sweep the latent dimension, pick argmax of the log predictive likelihood
+on validation, and plot RMSE-vs-K and LPL-vs-K curves.
+
+    python -m pmf_tpu.cli.best_k --model {gaussian,poisson,hpf_cavi} \
+        --k_min 2 --k_max 60 --k_step 2 [--synthetic N]
+
+Matching the reference quirk noted in SURVEY.md §2c: the HPF sweep does
+NOT apply the +1 rating shift (`run_hpf_best_k.py:15-54`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+from pmf_tpu.cli.common import Timer, add_data_args, center, get_splits, print_header
+from pmf_tpu.eval.metrics import (
+    gaussian_log_predictive_likelihood,
+    poisson_log_predictive_likelihood,
+)
+from pmf_tpu.models import HPF, HPFConfig, GaussianMF, GaussianMFConfig, PoissonMF, PoissonMFConfig
+
+FIG_DIR = os.path.join("reports", "figures")
+
+
+def _plot(ks, values, ylabel, path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(ks, values, marker="o")
+    ax.set_xlabel("K (latent factors)")
+    ax.set_ylabel(ylabel)
+    ax.grid(True, alpha=0.3)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
+def sweep(model_name, train_df, val_df, ks, max_iter=30, verbose=False):
+    rows = []
+    for K in ks:
+        if model_name == "gaussian":
+            train_c, val_c, mean = center(train_df, val_df)
+            cfg = GaussianMFConfig(
+                n_factors=K, sigma2=2.0, eta_theta2=0.05, eta_beta2=0.05,
+                max_iter=max_iter, tol=1e-3, use_bias=False, verbose=verbose,
+            )
+            m = GaussianMF(cfg).fit(train_c, val_c, global_mean=mean)
+            val_rmse = m.evaluate_rmse(val_c, global_mean=mean)
+            preds_state = m.state
+            theta = np.asarray(preds_state["m_theta"])
+            beta = np.asarray(preds_state["m_beta"])
+            mask = (val_c["u"] < m.n_users) & (val_c["i"] < m.n_items)
+            vv = val_c[mask]
+            lpl = gaussian_log_predictive_likelihood(
+                vv["rating"].to_numpy(),
+                np.sum(theta[vv["u"]] * beta[vv["i"]], axis=1),
+                np.sqrt(cfg.sigma2),
+            )
+        elif model_name == "poisson":
+            cfg = PoissonMFConfig(n_factors=K, max_iter=max_iter, tol=1e-4, verbose=verbose)
+            m = PoissonMF(cfg).fit(train_df, val_df)
+            val_rmse = m.evaluate_rmse(val_df)
+            lam = m.predict(val_df["u"].to_numpy(), val_df["i"].to_numpy())
+            lpl = poisson_log_predictive_likelihood(val_df["rating"].to_numpy(), lam)
+        elif model_name == "hpf_cavi":
+            # Reference quirk preserved: no +1 shift in the best-K sweep.
+            cfg = HPFConfig(n_factors=K, max_iter=max_iter, tol=1e-4, verbose=verbose)
+            m = HPF(cfg).fit(train_df, val_df)
+            val_rmse = m.evaluate_rmse(val_df)
+            lam = m.predict(val_df["u"].to_numpy(), val_df["i"].to_numpy())
+            lpl = poisson_log_predictive_likelihood(val_df["rating"].to_numpy(), lam)
+        else:
+            raise ValueError(model_name)
+        rows.append({"K": K, "val_rmse": val_rmse, "val_lpl": lpl})
+        print(f"K={K}: val RMSE {val_rmse:.4f} | val LPL {lpl:.1f}", flush=True)
+    return rows
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Best-K sweep")
+    parser.add_argument("--model", required=True, choices=["gaussian", "poisson", "hpf_cavi"])
+    parser.add_argument("--k_min", type=int, default=2)
+    parser.add_argument("--k_max", type=int, default=60)
+    parser.add_argument("--k_step", type=int, default=2)
+    parser.add_argument("--max_iter", type=int, default=30)
+    add_data_args(parser)
+    args = parser.parse_args(argv)
+
+    train_df, val_df, _ = get_splits(args)
+    ks = list(range(args.k_min, args.k_max + 1, args.k_step))
+    print_header(f"best-K sweep: {args.model}, K in {ks[0]}..{ks[-1]}")
+    rows = sweep(args.model, train_df, val_df, ks, max_iter=args.max_iter)
+
+    best = max(rows, key=lambda r: r["val_lpl"])
+    print(f"\nBest K by val LPL: {best['K']} (LPL {best['val_lpl']:.1f})")
+
+    prefix = {"gaussian": "GF", "poisson": "PF", "hpf_cavi": "HPF"}[args.model]
+    _plot([r["K"] for r in rows], [r["val_rmse"] for r in rows],
+          "Validation RMSE", os.path.join(FIG_DIR, f"{prefix}_RMSE.png"))
+    _plot([r["K"] for r in rows], [r["val_lpl"] for r in rows],
+          "Validation log predictive likelihood", os.path.join(FIG_DIR, f"{prefix}_LPL.png"))
+    print(f"Plots written to {FIG_DIR}/{prefix}_RMSE.png, {prefix}_LPL.png")
+    return rows, best
+
+
+if __name__ == "__main__":
+    main()

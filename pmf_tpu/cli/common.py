@@ -1,0 +1,77 @@
+"""Shared CLI plumbing: data access with a synthetic fallback, timing, and
+artifact paths.
+
+The reference experiments assume data/processed exists
+(`/root/reference/src/data/load_data.py:93-105`).  Here every entry point
+also accepts ``--synthetic N`` to run on generated data (the Kaggle
+dataset is not redistributable), which keeps the whole experiment surface
+executable anywhere, TPU included.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import pandas as pd
+
+from pmf_tpu.data.pipeline import load_all_splits
+from pmf_tpu.data.synthetic import synth_splits
+
+
+def add_data_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--processed_dir", default="data/processed", help="processed CSV directory"
+    )
+    parser.add_argument(
+        "--synthetic",
+        type=int,
+        default=0,
+        metavar="N",
+        help="use synthetic data with N ratings instead of data/processed",
+    )
+    parser.add_argument("--synthetic_users", type=int, default=2000)
+    parser.add_argument("--synthetic_items", type=int, default=800)
+    parser.add_argument("--seed", type=int, default=0, help="synthetic data seed")
+
+
+def get_splits(args):
+    """Return (train_df, val_df, test_df) as u/i/rating DataFrames."""
+    if args.synthetic:
+        (tu, ti, tx), (vu, vi, vx), (su, si, sx) = synth_splits(
+            args.synthetic_users, args.synthetic_items, args.synthetic, seed=args.seed
+        )
+        mk = lambda u, i, x: pd.DataFrame({"u": u, "i": i, "rating": x})
+        return mk(tu, ti, tx), mk(vu, vi, vx), mk(su, si, sx)
+    return load_all_splits(args.processed_dir)
+
+
+def center(train_df, *others):
+    """Center by the train mean; returns (centered frames..., mean)."""
+    mean = float(train_df["rating"].mean())
+    out = []
+    for df in (train_df, *others):
+        c = df.copy()
+        c["rating"] = c["rating"] - mean
+        out.append(c)
+    return (*out, mean)
+
+
+def shift(df, delta: float):
+    c = df.copy()
+    c["rating"] = c["rating"] + delta
+    return c
+
+
+class Timer:
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        self.seconds = time.time() - self.t0
+
+
+def print_header(title: str) -> None:
+    print(f"\n=== {title} ===", flush=True)

@@ -1,0 +1,178 @@
+"""Blocked COO layout — the MXU-friendly edge representation.
+
+XLA's gather/scatter on (nnz, K) arrays with K ~ 20 runs ~50-100x below
+HBM bandwidth on TPU (narrow rows, random access).  This layout removes
+random access entirely: edges are grouped into (self_block, other_block)
+tiles of factor rows; within a chunk every edge addresses rows of ONE
+self block and ONE other block by small local indices.  A Pallas kernel
+then loads the two factor blocks into VMEM and performs per-edge gathers
+and per-row segment sums as one-hot matmuls on the 128x128 MXU
+(`pmf_tpu.ops.pallas.cavi_edge`).
+
+Two copies are kept, mirroring the dual-sorted flat COO: one with user
+blocks major (user-factor coordinate blocks) and one with item blocks
+major.  Chunks are sorted self-block-major so the kernel can accumulate
+each output block in VMEM across consecutive grid steps.
+
+Every self block is guaranteed at least one chunk (all-padding if needed)
+so every output block is initialized by the kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["self_loc", "other_loc", "x", "chunk_self_block", "chunk_other_block"],
+    meta_fields=["n_chunks", "chunk_size", "bs_self", "bs_other", "n_self", "n_other",
+                 "n_self_blocks", "n_other_blocks", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class BlockedPass:
+    """One direction (self-major) of the blocked edge layout.
+
+    self_loc/other_loc: (n_chunks*chunk_size, 1) int32 local row indices
+    in column layout (one (chunk_size, 1) block per chunk); padding edges
+    carry self_loc == bs_self (maps to no one-hot row).
+    chunk_self_block / chunk_other_block: (n_chunks,) int32 block ids,
+    self-block-major sorted.
+    """
+
+    self_loc: jax.Array
+    other_loc: jax.Array
+    x: jax.Array
+    chunk_self_block: jax.Array
+    chunk_other_block: jax.Array
+    n_chunks: int
+    chunk_size: int
+    bs_self: int
+    bs_other: int
+    n_self: int
+    n_other: int
+    n_self_blocks: int
+    n_other_blocks: int
+    nnz: int
+
+
+def _build_pass(
+    s: np.ndarray,
+    o: np.ndarray,
+    x: np.ndarray,
+    n_self: int,
+    n_other: int,
+    bs_self: int,
+    bs_other: int,
+    chunk_size: int,
+    dtype,
+) -> BlockedPass:
+    n_self_blocks = -(-n_self // bs_self)
+    n_other_blocks = -(-n_other // bs_other)
+    sb = s // bs_self
+    ob = o // bs_other
+
+    order = np.lexsort((ob, sb))
+    s, o, x, sb, ob = s[order], o[order], x[order], sb[order], ob[order]
+
+    # Tile runs: consecutive edges sharing (sb, ob).
+    tile_key = sb.astype(np.int64) * n_other_blocks + ob
+    uniq, starts, counts = np.unique(tile_key, return_index=True, return_counts=True)
+    n_chunks_per_tile = -(-counts // chunk_size)
+
+    # Self blocks with no edges still need one (all-padding) chunk.
+    present_sb = np.unique(sb) if len(sb) else np.array([], dtype=np.int64)
+    missing_sb = np.setdiff1d(np.arange(n_self_blocks), present_sb)
+
+    total_chunks = int(n_chunks_per_tile.sum() + len(missing_sb))
+    C = chunk_size
+
+    self_loc = np.full((total_chunks, C), bs_self, dtype=np.int32)
+    other_loc = np.full((total_chunks, C), bs_other, dtype=np.int32)
+    xc = np.zeros((total_chunks, C), dtype=dtype)
+    chunk_sb = np.empty(total_chunks, dtype=np.int32)
+    chunk_ob = np.zeros(total_chunks, dtype=np.int32)
+
+    # Scatter edges into chunk rows (vectorized over edges).
+    chunk_base_per_tile = np.concatenate([[0], np.cumsum(n_chunks_per_tile)[:-1]])
+    edge_tile = np.repeat(np.arange(len(uniq)), counts)
+    edge_rank = np.arange(len(s)) - starts[edge_tile]
+    edge_chunk = chunk_base_per_tile[edge_tile] + edge_rank // C
+    edge_slot = edge_rank % C
+    self_loc[edge_chunk, edge_slot] = (s % bs_self).astype(np.int32)
+    other_loc[edge_chunk, edge_slot] = (o % bs_other).astype(np.int32)
+    xc[edge_chunk, edge_slot] = x.astype(dtype)
+
+    # Chunk block ids.
+    tile_of_chunk = np.repeat(np.arange(len(uniq)), n_chunks_per_tile)
+    chunk_sb[: len(tile_of_chunk)] = (uniq[tile_of_chunk] // n_other_blocks).astype(np.int32)
+    chunk_ob[: len(tile_of_chunk)] = (uniq[tile_of_chunk] % n_other_blocks).astype(np.int32)
+
+    # Trailing all-padding chunks for empty self blocks, then re-sort
+    # chunks self-block-major (stable keeps tile order within block).
+    chunk_sb[len(tile_of_chunk):] = missing_sb.astype(np.int32)
+    reorder = np.argsort(chunk_sb, kind="stable")
+    self_loc = self_loc[reorder]
+    other_loc = other_loc[reorder]
+    xc = xc[reorder]
+    chunk_sb = chunk_sb[reorder]
+    chunk_ob = chunk_ob[reorder]
+
+    # Column layout (n_chunks*C, 1): a (C, 1) block per grid step puts the
+    # chunk's edges along sublanes, which is the layout the kernel's
+    # one-hot compares want (and satisfies Mosaic block-shape rules).
+    return BlockedPass(
+        self_loc=jnp.asarray(self_loc.reshape(-1, 1)),
+        other_loc=jnp.asarray(other_loc.reshape(-1, 1)),
+        x=jnp.asarray(xc.reshape(-1, 1)),
+        chunk_self_block=jnp.asarray(chunk_sb),
+        chunk_other_block=jnp.asarray(chunk_ob),
+        n_chunks=total_chunks,
+        chunk_size=C,
+        bs_self=bs_self,
+        bs_other=bs_other,
+        n_self=n_self,
+        n_other=n_other,
+        n_self_blocks=n_self_blocks,
+        n_other_blocks=n_other_blocks,
+        nnz=len(s),
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["by_user", "by_item"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class BlockedCOO:
+    by_user: BlockedPass  # user blocks major -> user-factor coordinate blocks
+    by_item: BlockedPass  # item blocks major -> item-factor coordinate blocks
+
+
+def build_blocked(
+    u: np.ndarray,
+    i: np.ndarray,
+    x: np.ndarray,
+    n_users: int | None = None,
+    n_items: int | None = None,
+    block_users: int = 256,
+    block_items: int = 256,
+    chunk_size: int = 512,
+    dtype=np.float32,
+) -> BlockedCOO:
+    u = np.asarray(u, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    x = np.asarray(x)
+    if n_users is None:
+        n_users = int(u.max()) + 1
+    if n_items is None:
+        n_items = int(i.max()) + 1
+    by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items, chunk_size, dtype)
+    by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users, chunk_size, dtype)
+    return BlockedCOO(by_user=by_user, by_item=by_item)

@@ -98,6 +98,15 @@ class FitLoop:
         return state
 
 
+def resolve_engine(engine: str) -> str:
+    """"auto" -> the Pallas blocked engine on accelerators, XLA flat on CPU."""
+    if engine != "auto":
+        return engine
+    import jax
+
+    return "flat" if jax.default_backend() == "cpu" else "blocked_high"
+
+
 def gaussian_stop_rule(prev: float, cur: float, tol) -> bool:
     improvement = prev - cur
     return tol is not None and 0.0 <= improvement < tol

@@ -27,7 +27,13 @@ import numpy as np
 
 from pmf_tpu.data.coo import EvalSet, RatingsCOO
 from pmf_tpu.eval.metrics import masked_macro_mae, masked_rmse
-from pmf_tpu.models.base import FactorModel, FitLoop, as_triples, poisson_stop_rule
+from pmf_tpu.models.base import (
+    FactorModel,
+    FitLoop,
+    as_triples,
+    poisson_stop_rule,
+    resolve_engine,
+)
 from pmf_tpu.ops.segment import edge_dot, gather_rows, sorted_segment_sum
 
 RATE_FLOOR = 1e-10
@@ -47,6 +53,11 @@ class HPFConfig:
     random_state: int = 42
     verbose: bool = True
     dtype: str = "float32"
+    # Sweep engine: "flat" = XLA gather/scatter; "blocked_high" /
+    # "blocked_fast" = Pallas one-hot-matmul kernel (high: ~f32-exact,
+    # fast: single-pass bf16 MXU, ~5e-3 stat noise); "auto" = blocked_high
+    # on TPU, flat elsewhere.
+    engine: str = "auto"
 
 
 def init_state(n_users: int, n_items: int, cfg: HPFConfig) -> dict:
@@ -140,6 +151,69 @@ def sweep(
     }
 
 
+@partial(jax.jit, static_argnames=("precision", "interpret"))
+def sweep_blocked(
+    state: dict,
+    blocked,
+    user_counts: jax.Array,
+    item_counts: jax.Array,
+    a: float,
+    a_prime: float,
+    b_prime: float,
+    c: float,
+    c_prime: float,
+    d_prime: float,
+    precision: str = "high",
+    interpret: bool = False,
+) -> dict:
+    """Same iteration as :func:`sweep`, with the two edge passes computed
+    by the Pallas blocked kernel (`pmf_tpu.ops.pallas.cavi_edge`)."""
+    from pmf_tpu.ops.pallas.cavi_edge import poisson_edge_stats
+
+    K = state["a_theta"].shape[1]
+    a_xi = a_prime + K * a
+    a_eta = c_prime + K * c
+
+    E_theta = state["a_theta"] / state["b_theta"]
+    E_beta = state["a_beta"] / state["b_beta"]
+    E_xi = a_xi / state["b_xi"]
+    E_eta = a_eta / state["b_eta"]
+    dtype = E_theta.dtype
+
+    # -- theta block --
+    s_alloc, s_other = poisson_edge_stats(
+        E_theta, E_beta, blocked.by_user, precision=precision, interpret=interpret
+    )
+    has = (user_counts > 0)[:, None]
+    a_theta = jnp.where(has, a + s_alloc, jnp.asarray(a, dtype))
+    b_theta = jnp.where(has, E_xi[:, None] + s_other, E_xi[:, None])
+    E_theta = a_theta / b_theta
+
+    # -- xi block --
+    b_xi = b_prime + jnp.sum(E_theta, axis=1)
+
+    # -- beta block --
+    s_alloc_i, s_other_i = poisson_edge_stats(
+        E_beta, E_theta, blocked.by_item, precision=precision, interpret=interpret
+    )
+    has_i = (item_counts > 0)[:, None]
+    a_beta = jnp.where(has_i, c + s_alloc_i, jnp.asarray(c, dtype))
+    b_beta = jnp.where(has_i, E_eta[:, None] + s_other_i, E_eta[:, None])
+    E_beta = a_beta / b_beta
+
+    # -- eta block --
+    b_eta = d_prime + jnp.sum(E_beta, axis=1)
+
+    return {
+        "a_theta": a_theta,
+        "b_theta": b_theta,
+        "a_beta": a_beta,
+        "b_beta": b_beta,
+        "b_xi": b_xi,
+        "b_eta": b_eta,
+    }
+
+
 @jax.jit
 def eval_metrics(state: dict, ev: EvalSet):
     E_theta = state["a_theta"] / state["b_theta"]
@@ -162,8 +236,28 @@ class HPF(FactorModel):
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
         state = init_state(self.n_users, self.n_items, cfg)
 
-        def sweep_fn(s, d):
-            return sweep(s, d, cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
+        engine = resolve_engine(cfg.engine)
+        hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
+        if engine.startswith("blocked"):
+            import jax as _jax
+
+            from pmf_tpu.data.blocked import build_blocked
+
+            u, i, x = as_triples(train_df)
+            blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
+                                    dtype=self._dtype)
+            precision = "fast" if engine.endswith("fast") else "high"
+            interpret = _jax.default_backend() == "cpu"
+
+            def sweep_fn(s, d):
+                return sweep_blocked(
+                    s, blocked, d.user_counts, d.item_counts, *hyper,
+                    precision=precision, interpret=interpret,
+                )
+        else:
+
+            def sweep_fn(s, d):
+                return sweep(s, d, *hyper)
 
         val = self._build_eval(val_df) if val_df is not None else None
         loop = FitLoop(

@@ -33,7 +33,13 @@ import numpy as np
 
 from pmf_tpu.data.coo import EvalSet, RatingsCOO
 from pmf_tpu.eval.metrics import masked_macro_mae, masked_rmse
-from pmf_tpu.models.base import FactorModel, FitLoop, as_triples, poisson_stop_rule
+from pmf_tpu.models.base import (
+    FactorModel,
+    FitLoop,
+    as_triples,
+    poisson_stop_rule,
+    resolve_engine,
+)
 from pmf_tpu.ops.segment import edge_dot, gather_rows, sorted_segment_sum
 
 RATE_FLOOR = 1e-10  # reference floors the rate estimate (`poisson_mf_cavi.py:153`)
@@ -50,6 +56,9 @@ class PoissonMFConfig:
     verbose: bool = True
     extended: bool = False  # True == reference's poisson_mf_extended_cavi
     dtype: str = "float32"
+    # "flat" | "blocked_high" | "blocked_fast" | "auto" (see HPFConfig.engine).
+    # The extended variant always uses the flat engine.
+    engine: str = "auto"
 
 
 def init_state(n_users: int, n_items: int, cfg: PoissonMFConfig) -> dict:
@@ -187,6 +196,41 @@ def sweep(state: dict, data: RatingsCOO, a0: float, b0: float, extended: bool) -
     }
 
 
+@partial(jax.jit, static_argnames=("precision", "interpret"))
+def sweep_blocked(
+    state: dict,
+    blocked,
+    user_counts: jax.Array,
+    item_counts: jax.Array,
+    a0: float,
+    b0: float,
+    precision: str = "high",
+    interpret: bool = False,
+) -> dict:
+    """Plain-Poisson iteration with Pallas blocked edge passes."""
+    from pmf_tpu.ops.pallas.cavi_edge import poisson_edge_stats
+
+    E_theta = state["a_theta"] / state["b_theta"]
+    E_beta = state["a_beta"] / state["b_beta"]
+    dtype = E_theta.dtype
+
+    s_alloc, s_other = poisson_edge_stats(
+        E_theta, E_beta, blocked.by_user, precision=precision, interpret=interpret
+    )
+    has = (user_counts > 0)[:, None]
+    a_theta = jnp.where(has, a0 + s_alloc, jnp.asarray(a0, dtype))
+    b_theta = jnp.where(has, b0 + s_other, jnp.asarray(b0, dtype))
+    E_theta = a_theta / b_theta
+
+    s_alloc_i, s_other_i = poisson_edge_stats(
+        E_beta, E_theta, blocked.by_item, precision=precision, interpret=interpret
+    )
+    has_i = (item_counts > 0)[:, None]
+    a_beta = jnp.where(has_i, a0 + s_alloc_i, jnp.asarray(a0, dtype))
+    b_beta = jnp.where(has_i, b0 + s_other_i, jnp.asarray(b0, dtype))
+    return {"a_theta": a_theta, "b_theta": b_theta, "a_beta": a_beta, "b_beta": b_beta}
+
+
 @partial(jax.jit, static_argnames=("extended",))
 def eval_metrics(state: dict, ev: EvalSet, extended: bool):
     """Validation RMSE + macro-MAE over ALL real rows, out-of-range pairs
@@ -214,8 +258,27 @@ class PoissonMF(FactorModel):
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
         state = init_state(self.n_users, self.n_items, cfg)
 
-        def sweep_fn(s, d):
-            return sweep(s, d, cfg.a0, cfg.b0, cfg.extended)
+        engine = resolve_engine(cfg.engine)
+        if engine.startswith("blocked") and not cfg.extended:
+            import jax as _jax
+
+            from pmf_tpu.data.blocked import build_blocked
+
+            u, i, x = as_triples(train_df)
+            blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
+                                    dtype=self._dtype)
+            precision = "fast" if engine.endswith("fast") else "high"
+            interpret = _jax.default_backend() == "cpu"
+
+            def sweep_fn(s, d):
+                return sweep_blocked(
+                    s, blocked, d.user_counts, d.item_counts, cfg.a0, cfg.b0,
+                    precision=precision, interpret=interpret,
+                )
+        else:
+
+            def sweep_fn(s, d):
+                return sweep(s, d, cfg.a0, cfg.b0, cfg.extended)
 
         def eval_fn(s, ev):
             return eval_metrics(s, ev, cfg.extended)

@@ -1,0 +1,182 @@
+"""Fused CAVI edge-pass Pallas kernel for the Poisson/HPF model family.
+
+Replaces the XLA gather + scatter-add path (measured ~8-19 GB/s on TPU —
+50-100x below HBM bandwidth, because (nnz, K~20) random access maps badly
+onto 8x128 tiles) with a blocked formulation where every random access is
+a one-hot matmul on the 128x128 MXU:
+
+For each chunk of `C` edges, all belonging to one (self_block, other_block)
+tile of factor rows (`pmf_tpu.data.blocked.BlockedPass`):
+
+    onehot_self  = (self_loc  == iota)          (C, BS)
+    onehot_other = (other_loc == iota)          (C, BO)
+    g_self  = onehot_self  @ E_self_block       (C, K)   MXU gather
+    g_other = onehot_other @ E_other_block      (C, K)   MXU gather
+    rate    = max(<g_self, g_other>, floor)     (C,)     VPU
+    alloc   = (x / rate) * g_self * g_other     (C, K)   VPU
+    S_alloc_block  += onehot_self^T @ alloc     (BS, K)  MXU segment-sum
+    S_other_block  += onehot_self^T @ g_other   (BS, K)  MXU segment-sum
+
+Chunks are self-block-major, so each output block accumulates in VMEM
+across consecutive grid steps and spills to HBM exactly once (the
+standard revisited-output pattern).  Padding edges carry local index ==
+block_size, matching no one-hot column, and rating 0 — they contribute
+exactly zero.
+
+This computes the sufficient statistics of the reference's per-row update
+loops (`/root/reference/src/models/poisson_mf_cavi.py:135-164`,
+`/root/reference/src/models/hpf_cavi.py:126-151`) for ALL rows at once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pmf_tpu.data.blocked import BlockedPass
+
+
+def _kernel(
+    sb_ref,  # scalar prefetch: (n_chunks,) chunk -> self block
+    ob_ref,  # scalar prefetch: (n_chunks,) chunk -> other block
+    sloc_ref,  # (C, 1) int32
+    oloc_ref,  # (C, 1) int32
+    x_ref,  # (C, 1) float
+    eself_ref,  # (BS, K) float
+    eother_ref,  # (BO, K) float
+    salloc_ref,  # out (BS, K)
+    sother_ref,  # out (BS, K)
+    *,
+    bs_self: int,
+    bs_other: int,
+    chunk_size: int,
+    rate_floor: float,
+    precision,
+    k: int,
+):
+    c = pl.program_id(0)
+    dtype = eself_ref.dtype
+
+    sloc = sloc_ref[:, :]  # (C, 1)
+    oloc = oloc_ref[:, :]  # (C, 1)
+    xv = x_ref[:, :]  # (C, 1)
+
+    onehot_s = (
+        sloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_self), 1)
+    ).astype(dtype)
+    onehot_o = (
+        oloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_other), 1)
+    ).astype(dtype)
+
+    g_self = jnp.dot(
+        onehot_s, eself_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
+    g_other = jnp.dot(
+        onehot_o, eother_ref[:], preferred_element_type=jnp.float32, precision=precision
+    )
+
+    rate = jnp.maximum(
+        jnp.sum(g_self * g_other, axis=1, keepdims=True), jnp.asarray(rate_floor, dtype)
+    )
+    alloc = (xv / rate) * g_self * g_other
+
+    # First visit of this output block: zero the accumulators.
+    prev_sb = sb_ref[jnp.maximum(c - 1, 0)]
+    is_first = (c == 0) | (sb_ref[c] != prev_sb)
+
+    @pl.when(is_first)
+    def _():
+        salloc_ref[:] = jnp.zeros_like(salloc_ref)
+        sother_ref[:] = jnp.zeros_like(sother_ref)
+
+    # Pack both payloads into one segment-sum matmul (2K lanes <= 128).
+    payload = jnp.concatenate([alloc, g_other], axis=1)  # (C, 2K)
+    contract = (((0,), (0,)), ((), ()))  # onehot_s^T @ payload
+    seg = jax.lax.dot_general(
+        onehot_s, payload, contract, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    salloc_ref[:] += seg[:, :k]
+    sother_ref[:] += seg[:, k:]
+
+
+@functools.partial(jax.jit, static_argnames=("rate_floor", "interpret", "precision"))
+def poisson_edge_stats(
+    e_self: jax.Array,
+    e_other: jax.Array,
+    p: BlockedPass,
+    rate_floor: float = 1e-10,
+    interpret: bool = False,
+    precision: str = "high",
+):
+    """Compute (S_alloc, S_other) segment sums over self rows.
+
+    e_self: (n_self, K), e_other: (n_other, K).  Returns two (n_self, K)
+    arrays:  S_alloc[r] = sum_{edges of r} x * g_self * g_other / rate,
+    S_other[r] = sum_{edges of r} g_other — the two sufficient statistics
+    of every Poisson-family coordinate block.
+
+    ``precision`` controls the MXU pass count for the one-hot matmuls:
+    "high" (multi-pass bf16, ~f32-exact — the default for numerical parity
+    with the reference) or "fast" (single bf16 pass, ~5e-3 relative noise
+    in the statistics; CAVI remains stable, use for throughput).
+    (Mosaic supports only DEFAULT and HIGHEST dot precisions.)
+    """
+    prec = {
+        "fast": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGHEST,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+    K = e_self.shape[1]
+    n_self_pad = p.n_self_blocks * p.bs_self
+    n_other_pad = p.n_other_blocks * p.bs_other
+    e_self_pad = jnp.pad(e_self, ((0, n_self_pad - e_self.shape[0]), (0, 0)))
+    e_other_pad = jnp.pad(e_other, ((0, n_other_pad - e_other.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(p.n_chunks,),
+        in_specs=[
+            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c], 0)),
+            pl.BlockSpec((p.bs_other, K), lambda c, sb, ob: (ob[c], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c], 0)),
+            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c], 0)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        bs_self=p.bs_self,
+        bs_other=p.bs_other,
+        chunk_size=p.chunk_size,
+        rate_floor=rate_floor,
+        precision=prec,
+        k=K,
+    )
+    s_alloc, s_other = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_self_pad, K), jnp.float32),
+            jax.ShapeDtypeStruct((n_self_pad, K), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        p.chunk_self_block,
+        p.chunk_other_block,
+        p.self_loc,
+        p.other_loc,
+        p.x,
+        e_self_pad,
+        e_other_pad,
+    )
+    return s_alloc[: p.n_self], s_other[: p.n_self]

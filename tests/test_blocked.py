@@ -1,0 +1,75 @@
+"""Blocked-COO layout + Pallas edge-pass kernel (interpret mode on CPU)
+against the flat XLA segment-sum formulation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmf_tpu.data.blocked import build_blocked
+from pmf_tpu.data.coo import build_ratings
+from pmf_tpu.ops.pallas.cavi_edge import poisson_edge_stats
+from pmf_tpu.ops.segment import edge_dot, gather_rows, sorted_segment_sum
+
+
+def _flat_stats(e_self, e_other, self_ids, other_ids, x, n_self, floor=1e-10):
+    g_self = gather_rows(e_self, self_ids)
+    g_other = gather_rows(e_other, other_ids)
+    rate = jnp.maximum(edge_dot(g_self, g_other), floor)
+    alloc = (x / rate)[:, None] * g_self * g_other
+    return (
+        sorted_segment_sum(alloc, self_ids, n_self),
+        sorted_segment_sum(g_other, self_ids, n_self),
+    )
+
+
+@pytest.mark.parametrize("chunk_size,block", [(128, 64), (256, 128)])
+def test_blocked_stats_match_flat(small_ratings, chunk_size, block):
+    u, i, x = small_ratings
+    x = x + 1.0
+    n_users, n_items = int(u.max()) + 1, int(i.max()) + 1
+    rng = np.random.default_rng(0)
+    K = 12
+    e_theta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_users, K)).astype(np.float32))
+    e_beta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_items, K)).astype(np.float32))
+
+    flat = build_ratings(u, i, x, dtype=np.float32)
+    blocked = build_blocked(
+        u, i, x, block_users=block, block_items=block, chunk_size=chunk_size
+    )
+
+    # User pass.
+    ref_alloc, ref_other = _flat_stats(
+        e_theta, e_beta, flat.u_by_u, flat.i_by_u, flat.x_by_u, n_users
+    )
+    got_alloc, got_other = poisson_edge_stats(
+        e_theta, e_beta, blocked.by_user, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_alloc), np.asarray(ref_alloc), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_other), np.asarray(ref_other), rtol=2e-5, atol=1e-5)
+
+    # Item pass.
+    ref_alloc_i, ref_other_i = _flat_stats(
+        e_beta, e_theta, flat.i_by_i, flat.u_by_i, flat.x_by_i, n_items
+    )
+    got_alloc_i, got_other_i = poisson_edge_stats(
+        e_beta, e_theta, blocked.by_item, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_alloc_i), np.asarray(ref_alloc_i), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_other_i), np.asarray(ref_other_i), rtol=2e-5, atol=1e-5)
+
+
+def test_blocked_handles_empty_blocks():
+    """Rows/blocks with no edges must produce zero statistics."""
+    u = np.array([0, 0, 700])  # users 1..699 empty -> empty self blocks
+    i = np.array([0, 1, 2])
+    x = np.array([2.0, 3.0, 4.0])
+    K = 4
+    rng = np.random.default_rng(1)
+    e_theta = jnp.asarray(rng.gamma(1.0, 1.0, size=(701, K)).astype(np.float32))
+    e_beta = jnp.asarray(rng.gamma(1.0, 1.0, size=(3, K)).astype(np.float32))
+    blocked = build_blocked(u, i, x, block_users=128, block_items=128, chunk_size=128)
+    s_alloc, s_other = poisson_edge_stats(e_theta, e_beta, blocked.by_user, interpret=True)
+    assert s_alloc.shape == (701, K)
+    np.testing.assert_allclose(np.asarray(s_alloc[1:700]), 0.0)
+    np.testing.assert_allclose(np.asarray(s_other[1:700]), 0.0)
+    assert np.asarray(s_other[700]).sum() > 0

@@ -1,0 +1,102 @@
+"""End-to-end CLI surface tests on synthetic data (CPU)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SYN = ["--synthetic", "4000", "--synthetic_users", "300", "--synthetic_items", "120"]
+
+
+@pytest.mark.parametrize(
+    "model", ["gaussian", "gaussian_bias", "poisson", "poisson_extended", "hpf_cavi", "hpf_map"]
+)
+def test_run_single_all_models(model):
+    from pmf_tpu.cli.run_single import main
+
+    res = main(["--model", model, "--max_iter", "3", *SYN])
+    for split in ("train", "val", "test"):
+        assert np.isfinite(res[f"{split}_rmse"])
+
+
+def test_tune_writes_best_hyperparams(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from pmf_tpu import config as cfg_io
+    from pmf_tpu.cli.tune import main
+
+    out = str(tmp_path / "best_hyperparams.txt")
+    results = main(["--n_trials", "2", "--models", "poisson", "--out", out, *SYN])
+    assert cfg_io.POISSON_KEY in results
+    loaded = cfg_io.load_best_hyperparams(out)
+    assert cfg_io.POISSON_KEY in loaded
+    assert loaded[cfg_io.POISSON_KEY]["n_factors"] == results[cfg_io.POISSON_KEY].n_factors
+
+
+def test_compare_and_artifacts(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from pmf_tpu.cli.compare import main
+
+    # Default configs but tiny: write a small best_hyperparams.txt first.
+    from pmf_tpu import config as cfg_io
+    from pmf_tpu.models import HPFConfig, HPFMapConfig, GaussianMFConfig, PoissonMFConfig
+
+    cfg_io.write_best_hyperparams(
+        {
+            cfg_io.GAUSSIAN_KEY: GaussianMFConfig(n_factors=4, max_iter=3, verbose=False),
+            cfg_io.POISSON_KEY: PoissonMFConfig(n_factors=4, max_iter=3, verbose=False),
+            cfg_io.HPF_CAVI_KEY: HPFConfig(n_factors=4, max_iter=3, verbose=False),
+            cfg_io.HPF_MAP_KEY: HPFMapConfig(n_factors=4, epochs=3, verbose=False),
+        },
+        "best_hyperparams.txt",
+    )
+    df = main([*SYN])
+    assert df is not None and len(df) == 4
+    assert os.path.exists("model_comparison_plots.png")
+    assert os.path.exists("model_comparison_params.txt")
+
+
+def test_train_full_and_analysis(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from pmf_tpu import config as cfg_io
+    from pmf_tpu.cli.train_full import main as train_main
+    from pmf_tpu.models import GaussianMFConfig
+
+    cfg_io.write_best_hyperparams(
+        {cfg_io.GAUSSIAN_KEY: GaussianMFConfig(n_factors=4, max_iter=3, verbose=False)},
+        "best_hyperparams.txt",
+    )
+    train_main(["--model", "gaussian", "--dataset_mode", "train", *SYN])
+    assert os.path.exists("data/embeddings/gaussian_mf/user_embeddings.csv")
+    assert os.path.exists("data/embeddings/gaussian_mf/item_embeddings.csv")
+    assert os.path.exists("data/embeddings/gaussian_mf/config.txt")
+    pred_path = "data/predictions/gaussian_mf/test_predictions.csv"
+    assert os.path.exists(pred_path)
+    preds = pd.read_csv(pred_path)
+    assert list(preds.columns) == ["u", "i", "y_true", "y_pred"]
+
+    # Forecast diagnostics over the exported predictions.
+    from pmf_tpu.analysis.forecasts import main as forecasts_main
+
+    out = forecasts_main(["--models", "gaussian_mf"])
+    assert out is not None and os.path.exists("reports/forecast_metrics.csv")
+
+    # Top-dimension interpretation (no recipe names available -> item ids).
+    from pmf_tpu.analysis.top_dimensions import analyze_top_dimensions
+
+    summary = analyze_top_dimensions("gaussian_mf", n_dim=2, n_items=5)
+    assert len(summary) == 2
+
+    # Embedding viz (pca + sample; tsne/umap too slow/missing for tests).
+    from pmf_tpu.analysis.embedding_viz import main as viz_main
+
+    viz_main(["--model", "gaussian_mf", "--methods", "pca", "sample", "--dim", "2"])
+    assert os.path.exists("reports/figures/dimension_reduction/gaussian_mf/pca.png")
+
+
+def test_exploratory(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from pmf_tpu.analysis.exploratory import main
+
+    stats = main([*SYN])
+    assert stats["n_train"] > 0 and stats["n_test"] > 0

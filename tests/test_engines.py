@@ -1,0 +1,41 @@
+"""Engine equivalence: the Pallas blocked sweep (interpret mode on CPU)
+must match the flat XLA sweep at float32 tolerance, end to end."""
+
+import numpy as np
+
+from pmf_tpu.models.hpf import HPF, HPFConfig
+from pmf_tpu.models.poisson_mf import PoissonMF, PoissonMFConfig
+
+
+def _fit(model_cls, cfg, train, val):
+    return model_cls(cfg).fit(train, val)
+
+
+def test_hpf_engines_agree(small_splits):
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1), (vu, vi, vx + 1)
+    base = dict(n_factors=6, max_iter=4, tol=None, verbose=False, dtype="float32")
+    flat = _fit(HPF, HPFConfig(engine="flat", **base), train, val)
+    blocked = _fit(HPF, HPFConfig(engine="blocked_high", **base), train, val)
+    for k in flat.state:
+        np.testing.assert_allclose(
+            np.asarray(flat.state[k]), np.asarray(blocked.state[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+    r_flat = [h["val_rmse"] for h in flat.fit_history]
+    r_blk = [h["val_rmse"] for h in blocked.fit_history]
+    np.testing.assert_allclose(r_flat, r_blk, rtol=1e-4)
+
+
+def test_poisson_engines_agree(small_splits):
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    base = dict(n_factors=6, max_iter=4, tol=None, verbose=False, dtype="float32")
+    flat = _fit(PoissonMF, PoissonMFConfig(engine="flat", **base), (tu, ti, tx), (vu, vi, vx))
+    blocked = _fit(
+        PoissonMF, PoissonMFConfig(engine="blocked_high", **base), (tu, ti, tx), (vu, vi, vx)
+    )
+    for k in flat.state:
+        np.testing.assert_allclose(
+            np.asarray(flat.state[k]), np.asarray(blocked.state[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
