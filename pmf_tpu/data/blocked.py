@@ -32,7 +32,8 @@ import numpy as np
     jax.tree_util.register_dataclass,
     data_fields=["self_loc", "other_loc", "x", "chunk_self_block", "chunk_other_block"],
     meta_fields=["n_chunks", "chunk_size", "bs_self", "bs_other", "n_self", "n_other",
-                 "n_self_blocks", "n_other_blocks", "nnz"],
+                 "n_self_blocks", "n_other_blocks", "nnz", "seg_chunks",
+                 "seg_first_block", "seg_n_blocks"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockedPass:
@@ -59,6 +60,16 @@ class BlockedPass:
     n_self_blocks: int
     n_other_blocks: int
     nnz: int
+    # Segmentation for SMEM-bounded scalar prefetch: chunks are split into
+    # uniform segments of exactly seg_chunks chunks (padded with dummy
+    # all-padding chunks), each invoked as its own pallas_call; segment s
+    # covers self blocks [seg_first_block[s], seg_first_block[s] +
+    # seg_n_blocks[s]).  Segments cut at block boundaries where possible;
+    # a block whose chunks straddle a cut simply contributes partial sums
+    # from both segments (assembled by addition).
+    seg_chunks: int
+    seg_first_block: tuple
+    seg_n_blocks: tuple
 
 
 def _build_pass(
@@ -71,6 +82,7 @@ def _build_pass(
     bs_other: int,
     chunk_size: int,
     dtype,
+    seg_chunks: int = 4096,
 ) -> BlockedPass:
     n_self_blocks = -(-n_self // bs_self)
     n_other_blocks = -(-n_other // bs_other)
@@ -123,16 +135,52 @@ def _build_pass(
     chunk_sb = chunk_sb[reorder]
     chunk_ob = chunk_ob[reorder]
 
+    # Segmentation: uniform segments of seg_chunks chunks, preferring cuts
+    # at self-block boundaries (straddling allowed for oversized blocks).
+    seg_max = min(seg_chunks, total_chunks)
+    ranges = []
+    start = 0
+    while start < total_chunks:
+        end = min(start + seg_max, total_chunks)
+        if end < total_chunks:
+            cut = end
+            while cut > start + 1 and chunk_sb[cut] == chunk_sb[cut - 1]:
+                cut -= 1
+            if chunk_sb[cut] != chunk_sb[cut - 1]:
+                end = cut
+        ranges.append((start, end))
+        start = end
+
+    n_segments = len(ranges)
+    final_chunks = n_segments * seg_max
+    f_self = np.full((final_chunks, C), bs_self, dtype=np.int32)
+    f_other = np.full((final_chunks, C), bs_other, dtype=np.int32)
+    f_x = np.zeros((final_chunks, C), dtype=dtype)
+    f_sb = np.empty(final_chunks, dtype=np.int32)
+    f_ob = np.zeros(final_chunks, dtype=np.int32)
+    seg_first, seg_nblocks = [], []
+    for k, (a, b) in enumerate(ranges):
+        dst = slice(k * seg_max, k * seg_max + (b - a))
+        f_self[dst] = self_loc[a:b]
+        f_other[dst] = other_loc[a:b]
+        f_x[dst] = xc[a:b]
+        f_sb[dst] = chunk_sb[a:b]
+        f_ob[dst] = chunk_ob[a:b]
+        # Dummy padding chunks keep the segment's last block id.
+        f_sb[k * seg_max + (b - a) : (k + 1) * seg_max] = chunk_sb[b - 1]
+        seg_first.append(int(chunk_sb[a]))
+        seg_nblocks.append(int(chunk_sb[b - 1]) - int(chunk_sb[a]) + 1)
+
     # Column layout (n_chunks*C, 1): a (C, 1) block per grid step puts the
     # chunk's edges along sublanes, which is the layout the kernel's
     # one-hot compares want (and satisfies Mosaic block-shape rules).
     return BlockedPass(
-        self_loc=jnp.asarray(self_loc.reshape(-1, 1)),
-        other_loc=jnp.asarray(other_loc.reshape(-1, 1)),
-        x=jnp.asarray(xc.reshape(-1, 1)),
-        chunk_self_block=jnp.asarray(chunk_sb),
-        chunk_other_block=jnp.asarray(chunk_ob),
-        n_chunks=total_chunks,
+        self_loc=jnp.asarray(f_self.reshape(-1, 1)),
+        other_loc=jnp.asarray(f_other.reshape(-1, 1)),
+        x=jnp.asarray(f_x.reshape(-1, 1)),
+        chunk_self_block=jnp.asarray(f_sb),
+        chunk_other_block=jnp.asarray(f_ob),
+        n_chunks=final_chunks,
         chunk_size=C,
         bs_self=bs_self,
         bs_other=bs_other,
@@ -141,6 +189,9 @@ def _build_pass(
         n_self_blocks=n_self_blocks,
         n_other_blocks=n_other_blocks,
         nnz=len(s),
+        seg_chunks=seg_max,
+        seg_first_block=tuple(seg_first),
+        seg_n_blocks=tuple(seg_nblocks),
     )
 
 
@@ -165,6 +216,7 @@ def build_blocked(
     block_items: int = 256,
     chunk_size: int = 512,
     dtype=np.float32,
+    seg_chunks: int = 4096,
 ) -> BlockedCOO:
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
@@ -173,6 +225,8 @@ def build_blocked(
         n_users = int(u.max()) + 1
     if n_items is None:
         n_items = int(i.max()) + 1
-    by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items, chunk_size, dtype)
-    by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users, chunk_size, dtype)
+    by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items,
+                          chunk_size, dtype, seg_chunks)
+    by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users,
+                          chunk_size, dtype, seg_chunks)
     return BlockedCOO(by_user=by_user, by_item=by_item)

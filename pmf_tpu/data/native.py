@@ -1,0 +1,118 @@
+"""ctypes bindings for the C++ ingest runtime (native/ingest.cpp).
+
+Builds the shared library lazily with g++ (cached next to the source),
+and falls back to pandas/numpy transparently when a toolchain is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "ingest.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libpmf_ingest.so")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             "-o", _SO, _SRC, "-lpthread"],
+            check=True, capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SRC) or not _build():
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.pmf_parse_csv.restype = ctypes.c_int64
+        lib.pmf_parse_csv.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ]
+        lib.pmf_free.restype = None
+        lib.pmf_free.argtypes = [ctypes.c_void_p]
+        lib.pmf_radix_argsort.restype = None
+        lib.pmf_radix_argsort.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def parse_interactions_csv(path: str, columns=("u", "i", "rating"), n_threads: int = 0):
+    """Parse a u/i/rating CSV into numpy arrays via the native parser;
+    pandas fallback when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        import pandas as pd
+
+        df = pd.read_csv(path)
+        return (
+            df[columns[0]].to_numpy(np.int64),
+            df[columns[1]].to_numpy(np.int64),
+            df[columns[2]].to_numpy(np.float64),
+        )
+    # Column indices from the header.
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+    idx = [header.index(c) for c in columns]
+
+    up = ctypes.POINTER(ctypes.c_int32)()
+    ip = ctypes.POINTER(ctypes.c_int32)()
+    xp = ctypes.POINTER(ctypes.c_float)()
+    n = lib.pmf_parse_csv(path.encode(), idx[0], idx[1], idx[2], n_threads,
+                          ctypes.byref(up), ctypes.byref(ip), ctypes.byref(xp))
+    if n < 0:
+        raise IOError(f"native parse failed for {path}")
+    try:
+        u = np.ctypeslib.as_array(up, shape=(n,)).astype(np.int64)
+        i = np.ctypeslib.as_array(ip, shape=(n,)).astype(np.int64)
+        x = np.ctypeslib.as_array(xp, shape=(n,)).astype(np.float64)
+    finally:
+        lib.pmf_free(up)
+        lib.pmf_free(ip)
+        lib.pmf_free(xp)
+    return u, i, x
+
+
+def radix_argsort(keys: np.ndarray, n_keys: int):
+    """Stable argsort of non-negative int32 keys + per-key counts via the
+    native radix sort; numpy fallback."""
+    keys32 = np.ascontiguousarray(keys, dtype=np.int32)
+    lib = get_lib()
+    if lib is None:
+        return np.argsort(keys32, kind="stable"), np.bincount(
+            keys32, minlength=n_keys
+        ).astype(np.int64)
+    n = len(keys32)
+    perm = np.empty(n, dtype=np.int64)
+    counts = np.zeros(n_keys, dtype=np.int64)
+    lib.pmf_radix_argsort(
+        keys32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, n_keys,
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return perm, counts

@@ -1,0 +1,108 @@
+"""Top-K ranking metrics (recall@k, NDCG@k, mean rank) for held-out items.
+
+The usual formulation (score all items, mask the user's training items,
+sort, look up held-out positions) is hostile to TPU: ragged training-item
+masks and big sorts.  This evaluator computes EXACT ranks with no sort
+and no ragged mask:
+
+  rank(u, i*) = 1 + #{j : score(u, j) > score(u, i*)}  -  #{j in train(u)
+                 : score(u, j) > score(u, i*)}
+
+  * the first count runs over ALL items: batched dense score matrices
+    theta[u] @ beta^T (MXU) + a compare-and-sum reduction;
+  * the train-item correction runs over COO edges: one edge pass scoring
+    every training edge, compared against a dense (n_users, T) table of
+    the user's held-out thresholds, segment-summed per user.
+
+Binary-relevance NDCG@k = 1/log2(rank+1) for rank <= k, averaged over
+held-out pairs; recall@k = fraction of held-out pairs ranked <= k.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pmf_tpu.ops.segment import edge_dot, gather_rows, sorted_segment_sum
+
+
+@partial(jax.jit, static_argnames=("n_users",))
+def _train_higher_counts(theta, beta, train_u, train_i, thresholds, n_users):
+    """counts[u, t] = # train edges of u scoring strictly above thresholds[u, t]."""
+    es = edge_dot(gather_rows(theta, train_u), gather_rows(beta, train_i))
+    thr_e = gather_rows(thresholds, train_u)  # (nnz, T)
+    cmp = (es[:, None] > thr_e).astype(jnp.float32)
+    return sorted_segment_sum(cmp, train_u, n_users)
+
+
+@jax.jit
+def _rank_all_batch(theta_rows, beta, i_batch):
+    """Per pair: (threshold, #items scoring strictly above it).  The
+    threshold is read from the SAME score matrix that competitors are
+    counted in, so the pair's own item can never miscount itself by a
+    summation-order ulp."""
+    scores = jnp.dot(theta_rows, beta.T, preferred_element_type=jnp.float32)
+    t = scores[jnp.arange(scores.shape[0]), i_batch]
+    return t, jnp.sum((scores > t[:, None]).astype(jnp.float32), axis=1)
+
+
+def ranking_metrics(
+    theta,
+    beta,
+    train_u: np.ndarray,
+    train_i: np.ndarray,
+    test_u: np.ndarray,
+    test_i: np.ndarray,
+    ks=(10, 50),
+    batch: int = 2048,
+) -> dict:
+    """Exact recall@k / NDCG@k / mean rank of held-out (test_u, test_i)
+    pairs under dot-product scores, excluding each user's own training
+    items from the competition."""
+    theta = jnp.asarray(theta, jnp.float32)
+    beta = jnp.asarray(beta, jnp.float32)
+    n_users = theta.shape[0]
+
+    test_u = np.asarray(test_u, dtype=np.int64)
+    test_i = np.asarray(test_i, dtype=np.int64)
+    order = np.argsort(test_u, kind="stable")
+    test_u, test_i = test_u[order], test_i[order]
+    P = len(test_u)
+
+    # Slot index of each pair within its user (0..T-1), T = max pairs/user.
+    slot = np.zeros(P, dtype=np.int64)
+    _, starts, counts = np.unique(test_u, return_index=True, return_counts=True)
+    for s, c in zip(starts, counts):
+        slot[s : s + c] = np.arange(c)
+    T = int(slot.max()) + 1 if P else 1
+
+    # Full-item counts and matmul-consistent thresholds, in pair batches.
+    rank_all = np.empty(P, dtype=np.float64)
+    t = np.empty(P, dtype=np.float32)
+    for s in range(0, P, batch):
+        e = min(s + batch, P)
+        rows = gather_rows(theta, jnp.asarray(test_u[s:e]))
+        tb, rb = _rank_all_batch(rows, beta, jnp.asarray(test_i[s:e]))
+        t[s:e] = np.asarray(tb)
+        rank_all[s:e] = np.asarray(rb)
+
+    # Train-item correction: per-user threshold table + one edge pass.
+    thresholds = np.full((n_users, T), np.inf, dtype=np.float32)
+    thresholds[test_u, slot] = t
+    t_order = np.argsort(train_u, kind="stable")
+    tu = jnp.asarray(np.asarray(train_u)[t_order].astype(np.int32))
+    ti = jnp.asarray(np.asarray(train_i)[t_order].astype(np.int32))
+    higher_train = np.asarray(
+        _train_higher_counts(theta, beta, tu, ti, jnp.asarray(thresholds), n_users)
+    )
+
+    rank = rank_all - higher_train[test_u, slot] + 1.0
+    out = {"mean_rank": float(rank.mean()) if P else float("nan"), "n_pairs": P}
+    for k in ks:
+        hit = rank <= k
+        out[f"recall@{k}"] = float(hit.mean())
+        out[f"ndcg@{k}"] = float(np.where(hit, 1.0 / np.log2(rank + 1.0), 0.0).mean())
+    return out

@@ -60,6 +60,8 @@ class FitLoop:
         stop_rule: Callable,
         verbose: bool = False,
         name: str = "CAVI",
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 10,
     ):
         self.sweep_fn = sweep_fn
         self.eval_fn = eval_fn
@@ -68,12 +70,21 @@ class FitLoop:
         self.stop_rule = stop_rule
         self.verbose = verbose
         self.name = name
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         self.history: list[dict] = []
+
+    def _maybe_checkpoint(self, state, it: int) -> None:
+        if self.checkpoint_dir and it % self.checkpoint_every == 0:
+            from pmf_tpu.utils.checkpoint import save_state
+
+            save_state(self.checkpoint_dir, state, {"iteration": it, "name": self.name})
 
     def run(self, state, data: RatingsCOO, val: Optional[EvalSet]):
         prev_val_rmse = None
         for it in range(1, self.max_iter + 1):
             state = self.sweep_fn(state, data)
+            self._maybe_checkpoint(state, it)
             record = {"iteration": it}
             if val is not None and self.eval_fn is not None:
                 val_rmse, val_macro = self.eval_fn(state, val)

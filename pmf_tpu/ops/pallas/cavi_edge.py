@@ -58,7 +58,6 @@ def _kernel(
     precision,
     k: int,
 ):
-    c = pl.program_id(0)
     dtype = eself_ref.dtype
 
     sloc = sloc_ref[:, :]  # (C, 1)
@@ -85,6 +84,7 @@ def _kernel(
     alloc = (xv / rate) * g_self * g_other
 
     # First visit of this output block: zero the accumulators.
+    c = pl.program_id(0)
     prev_sb = sb_ref[jnp.maximum(c - 1, 0)]
     is_first = (c == 0) | (sb_ref[c] != prev_sb)
 
@@ -137,9 +137,21 @@ def poisson_edge_stats(
     e_self_pad = jnp.pad(e_self, ((0, n_self_pad - e_self.shape[0]), (0, 0)))
     e_other_pad = jnp.pad(e_other, ((0, n_other_pad - e_other.shape[0]), (0, 0)))
 
+    # Segmented invocation: uniform segments of seg_chunks chunks, with
+    # output rows RELATIVE to the segment's first self block (sb[c] -
+    # sb[0]); keeps the scalar-prefetch arrays small enough for SMEM at
+    # any nnz.  Segments run under ONE lax.scan so exactly one Mosaic
+    # kernel is compiled regardless of segment count (remote compiles are
+    # expensive, and many unrolled pallas_calls overwhelm the compiler).
+    # Per-segment partial sums are assembled by masked dynamic-slice
+    # addition (a block straddling a segment cut contributes from both).
+    n_segments = p.n_chunks // p.seg_chunks
+    max_blocks = max(p.seg_n_blocks)
+    out_rows = max_blocks * p.bs_self
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(p.n_chunks,),
+        grid=(p.seg_chunks,),
         in_specs=[
             pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
             pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
@@ -148,8 +160,8 @@ def poisson_edge_stats(
             pl.BlockSpec((p.bs_other, K), lambda c, sb, ob: (ob[c], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c], 0)),
-            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c], 0)),
+            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c] - sb[0], 0)),
+            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c] - sb[0], 0)),
         ],
     )
 
@@ -162,21 +174,41 @@ def poisson_edge_stats(
         precision=prec,
         k=K,
     )
-    s_alloc, s_other = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((n_self_pad, K), jnp.float32),
-            jax.ShapeDtypeStruct((n_self_pad, K), jnp.float32),
+            jax.ShapeDtypeStruct((out_rows, K), jnp.float32),
+            jax.ShapeDtypeStruct((out_rows, K), jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(
-        p.chunk_self_block,
-        p.chunk_other_block,
-        p.self_loc,
-        p.other_loc,
-        p.x,
-        e_self_pad,
-        e_other_pad,
     )
-    return s_alloc[: p.n_self], s_other[: p.n_self]
+
+    C = p.chunk_size
+    S = p.seg_chunks
+    xs = (
+        p.chunk_self_block.reshape(n_segments, S),
+        p.chunk_other_block.reshape(n_segments, S),
+        p.self_loc.reshape(n_segments, S * C, 1),
+        p.other_loc.reshape(n_segments, S * C, 1),
+        p.x.reshape(n_segments, S * C, 1),
+        jnp.asarray([b * p.bs_self for b in p.seg_first_block], jnp.int32),
+        jnp.asarray([b * p.bs_self for b in p.seg_n_blocks], jnp.int32),
+    )
+    # Overhang room: the last segment's uniform out_rows window may extend
+    # past n_self_pad.
+    acc0 = jnp.zeros((n_self_pad + out_rows, 2 * K), jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
+
+    def body(acc, seg):
+        sb, ob, sl, ol, xv, r0, nr = seg
+        sa_seg, so_seg = call(sb, ob, sl, ol, xv, e_self_pad, e_other_pad)
+        contrib = jnp.concatenate([sa_seg, so_seg], axis=1)
+        contrib = jnp.where(row_ids < nr, contrib, 0.0)
+        zero = jnp.zeros((), r0.dtype)
+        region = jax.lax.dynamic_slice(acc, (r0, zero), (out_rows, 2 * K))
+        acc = jax.lax.dynamic_update_slice(acc, region + contrib, (r0, zero))
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, acc0, xs)
+    return acc[: p.n_self, :K], acc[: p.n_self, K:]

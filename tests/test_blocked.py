@@ -58,6 +58,31 @@ def test_blocked_stats_match_flat(small_ratings, chunk_size, block):
     np.testing.assert_allclose(np.asarray(got_other_i), np.asarray(ref_other_i), rtol=2e-5, atol=1e-5)
 
 
+def test_blocked_segmented_matches_flat(small_ratings):
+    """Tiny seg_chunks forces many segments (including straddled blocks);
+    results must still match the flat path exactly."""
+    u, i, x = small_ratings
+    x = x + 1.0
+    n_users, n_items = int(u.max()) + 1, int(i.max()) + 1
+    rng = np.random.default_rng(3)
+    K = 8
+    e_theta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_users, K)).astype(np.float32))
+    e_beta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_items, K)).astype(np.float32))
+
+    flat = build_ratings(u, i, x, dtype=np.float32)
+    blocked = build_blocked(u, i, x, block_users=64, block_items=64,
+                            chunk_size=128, seg_chunks=4)
+    p = blocked.by_user
+    assert p.n_chunks // p.seg_chunks > 1, "test needs multiple segments"
+
+    ref_alloc, ref_other = _flat_stats(
+        e_theta, e_beta, flat.u_by_u, flat.i_by_u, flat.x_by_u, n_users
+    )
+    got_alloc, got_other = poisson_edge_stats(e_theta, e_beta, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_alloc), np.asarray(ref_alloc), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_other), np.asarray(ref_other), rtol=2e-5, atol=1e-5)
+
+
 def test_blocked_handles_empty_blocks():
     """Rows/blocks with no edges must produce zero statistics."""
     u = np.array([0, 0, 700])  # users 1..699 empty -> empty self blocks

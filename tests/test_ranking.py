@@ -1,0 +1,67 @@
+"""Ranking metrics vs a naive sort-based oracle."""
+
+import numpy as np
+
+from pmf_tpu.eval.ranking import ranking_metrics
+
+
+def _naive(theta, beta, train_u, train_i, test_u, test_i, k):
+    n_users, n_items = theta.shape[0], beta.shape[0]
+    train_sets = {u: set() for u in range(n_users)}
+    for u, i in zip(train_u, train_i):
+        train_sets[u].add(i)
+    ranks = []
+    scores_all = theta @ beta.T
+    for u, i in zip(test_u, test_i):
+        s = scores_all[u]
+        target = s[i]
+        competitors = [j for j in range(n_items) if j not in train_sets[u]]
+        rank = 1 + sum(1 for j in competitors if s[j] > target)
+        ranks.append(rank)
+    ranks = np.array(ranks, dtype=float)
+    hit = ranks <= k
+    return {
+        "mean_rank": ranks.mean(),
+        f"recall@{k}": hit.mean(),
+        f"ndcg@{k}": np.where(hit, 1.0 / np.log2(ranks + 1), 0.0).mean(),
+    }
+
+
+def test_ranking_matches_naive():
+    rng = np.random.default_rng(0)
+    n_users, n_items, K = 40, 60, 5
+    theta = rng.standard_normal((n_users, K)).astype(np.float32)
+    beta = rng.standard_normal((n_items, K)).astype(np.float32)
+
+    # Train edges: ~8 per user; test: 1-2 held-out items per user.
+    train_u, train_i, test_u, test_i = [], [], [], []
+    for u in range(n_users):
+        items = rng.choice(n_items, size=10, replace=False)
+        train_u += [u] * 8
+        train_i += list(items[:8])
+        n_test = 1 + (u % 2)
+        test_u += [u] * n_test
+        test_i += list(items[8 : 8 + n_test])
+
+    got = ranking_metrics(theta, beta, np.array(train_u), np.array(train_i),
+                          np.array(test_u), np.array(test_i), ks=(10,), batch=7)
+    want = _naive(theta, beta, train_u, train_i, test_u, test_i, 10)
+    assert abs(got["mean_rank"] - want["mean_rank"]) < 1e-4
+    assert abs(got["recall@10"] - want["recall@10"]) < 1e-9
+    assert abs(got["ndcg@10"] - want["ndcg@10"]) < 1e-6
+
+
+def test_ranking_perfect_model():
+    """A model that scores the held-out item highest must get recall@1 == 1."""
+    n_users, n_items = 10, 30
+    theta = np.eye(n_users, 4, dtype=np.float32)
+    beta = np.zeros((n_items, 4), dtype=np.float32)
+    test_u = np.arange(n_users)
+    test_i = np.arange(n_users)  # item i for user i
+    beta[test_i, :] = 0.0
+    for u in range(n_users):
+        beta[u] = theta[u] * 10  # held-out item aligned with the user
+    got = ranking_metrics(theta, beta, np.array([0]), np.array([29]),
+                          test_u, test_i, ks=(1,))
+    assert got["recall@1"] == 1.0
+    assert got["ndcg@1"] == 1.0
