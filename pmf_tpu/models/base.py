@@ -62,6 +62,7 @@ class FitLoop:
         name: str = "CAVI",
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 10,
+        profile_dir: Optional[str] = None,
     ):
         self.sweep_fn = sweep_fn
         self.eval_fn = eval_fn
@@ -72,6 +73,7 @@ class FitLoop:
         self.name = name
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        self.profile_dir = profile_dir
         self.history: list[dict] = []
 
     def _maybe_checkpoint(self, state, it: int) -> None:
@@ -81,19 +83,42 @@ class FitLoop:
             save_state(self.checkpoint_dir, state, {"iteration": it, "name": self.name})
 
     def run(self, state, data: RatingsCOO, val: Optional[EvalSet]):
+        """Drive sweeps with host-side early stopping.  Iteration wall time
+        lands in history as ``iter_seconds`` (meaningful when a validation
+        eval forces a device sync); with ``profile_dir`` the whole loop is
+        captured as a jax.profiler trace (view with TensorBoard)."""
+        import contextlib
+        import time as _time
+
+        ctx = (
+            jax.profiler.trace(self.profile_dir)
+            if self.profile_dir
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            return self._run(state, data, val, _time)
+
+    def _run(self, state, data: RatingsCOO, val: Optional[EvalSet], _time):
         prev_val_rmse = None
         for it in range(1, self.max_iter + 1):
-            state = self.sweep_fn(state, data)
+            t0 = _time.perf_counter()
+            with jax.profiler.StepTraceAnnotation(self.name, step_num=it):
+                state = self.sweep_fn(state, data)
             self._maybe_checkpoint(state, it)
-            record = {"iteration": it}
+            record = {"iteration": it, "iter_seconds": None}
             if val is not None and self.eval_fn is not None:
                 val_rmse, val_macro = self.eval_fn(state, val)
-                val_rmse = float(val_rmse)
-                record.update(val_rmse=val_rmse, val_macro_mae=float(val_macro))
+                val_rmse = float(val_rmse)  # device sync point
+                record.update(
+                    val_rmse=val_rmse,
+                    val_macro_mae=float(val_macro),
+                    iter_seconds=_time.perf_counter() - t0,
+                )
                 if self.verbose:
                     print(
                         f"{self.name} iter {it}/{self.max_iter} | "
-                        f"val RMSE {val_rmse:.4f} | macro-MAE {float(val_macro):.4f}",
+                        f"val RMSE {val_rmse:.4f} | macro-MAE {float(val_macro):.4f} | "
+                        f"{record['iter_seconds']:.3f}s",
                         flush=True,
                     )
                 self.history.append(record)
@@ -105,6 +130,7 @@ class FitLoop:
                     break
                 prev_val_rmse = val_rmse
             else:
+                record["iter_seconds"] = _time.perf_counter() - t0
                 self.history.append(record)
         return state
 

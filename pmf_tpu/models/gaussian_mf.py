@@ -35,7 +35,13 @@ import numpy as np
 
 from pmf_tpu.data.coo import EvalSet, RatingsCOO
 from pmf_tpu.eval.metrics import masked_macro_mae, masked_rmse
-from pmf_tpu.models.base import FactorModel, FitLoop, as_triples, gaussian_stop_rule
+from pmf_tpu.models.base import (
+    FactorModel,
+    FitLoop,
+    as_triples,
+    gaussian_stop_rule,
+    resolve_engine,
+)
 from pmf_tpu.ops.segment import edge_dot, gather_rows, sorted_segment_sum
 from pmf_tpu.ops.solve import batched_psd_inverse
 
@@ -53,6 +59,8 @@ class GaussianMFConfig:
     verbose: bool = True
     use_bias: bool = True  # True == reference's gaussian_mf_cavi_bias variant
     dtype: str = "float32"
+    # "flat" | "blocked_high" | "blocked_fast" | "auto" (see HPFConfig.engine).
+    engine: str = "auto"
 
 
 def init_state(n_users: int, n_items: int, cfg: GaussianMFConfig) -> dict:
@@ -233,6 +241,79 @@ def sweep(
     }
 
 
+@partial(jax.jit, static_argnames=("use_bias", "precision", "interpret"))
+def sweep_blocked(
+    state: dict,
+    blocked,
+    user_counts: jax.Array,
+    item_counts: jax.Array,
+    sigma2: float,
+    eta_theta2: float,
+    eta_beta2: float,
+    eta_bias2: float,
+    use_bias: bool,
+    precision: str = "high",
+    interpret: bool = False,
+) -> dict:
+    """Same iteration as :func:`sweep`, with all four edge passes computed
+    by the Gaussian Pallas kernels (`pmf_tpu.ops.pallas.gaussian_edge`)."""
+    from pmf_tpu.ops.pallas.gaussian_edge import gaussian_bias_stats, gaussian_factor_stats
+
+    K = state["m_theta"].shape[1]
+    dtype = state["m_theta"].dtype
+    eye = jnp.eye(K, dtype=dtype)
+
+    def factor_update(m_old, V_old, S_w, S_A, counts, eta2):
+        precn = eye / jnp.asarray(eta2, dtype) + S_A / jnp.asarray(sigma2, dtype)
+        V_new = batched_psd_inverse(precn)
+        m_new = jnp.einsum("rkl,rl->rk", V_new, S_w) / jnp.asarray(sigma2, dtype)
+        has = (counts > 0)[:, None]
+        return jnp.where(has, m_new, m_old), jnp.where(has[:, :, None], V_new, V_old)
+
+    # theta block (old betas, old biases).
+    S_w, S_A = gaussian_factor_stats(
+        state["m_beta"], state["V_beta"], state["b_user"], state["b_item"],
+        blocked.by_user, use_bias=use_bias, precision=precision, interpret=interpret,
+    )
+    m_theta, V_theta = factor_update(
+        state["m_theta"], state["V_theta"], S_w, S_A, user_counts, eta_theta2
+    )
+
+    # beta block (new thetas, old biases).
+    S_w_i, S_A_i = gaussian_factor_stats(
+        m_theta, V_theta, state["b_item"], state["b_user"],
+        blocked.by_item, use_bias=use_bias, precision=precision, interpret=interpret,
+    )
+    m_beta, V_beta = factor_update(
+        state["m_beta"], state["V_beta"], S_w_i, S_A_i, item_counts, eta_beta2
+    )
+
+    b_user = state["b_user"]
+    b_item = state["b_item"]
+    if use_bias:
+        s_u = gaussian_bias_stats(
+            m_theta, m_beta, b_item, blocked.by_user,
+            precision=precision, interpret=interpret,
+        )
+        prec_u = 1.0 / jnp.asarray(eta_bias2, dtype) + user_counts / jnp.asarray(sigma2, dtype)
+        b_user = jnp.where(user_counts > 0, s_u / (prec_u * jnp.asarray(sigma2, dtype)), b_user)
+        s_i = gaussian_bias_stats(
+            m_beta, m_theta, b_user, blocked.by_item,
+            precision=precision, interpret=interpret,
+        )
+        prec_i = 1.0 / jnp.asarray(eta_bias2, dtype) + item_counts / jnp.asarray(sigma2, dtype)
+        b_item = jnp.where(item_counts > 0, s_i / (prec_i * jnp.asarray(sigma2, dtype)), b_item)
+
+    return {
+        "m_theta": m_theta,
+        "V_theta": V_theta,
+        "m_beta": m_beta,
+        "V_beta": V_beta,
+        "b_user": b_user,
+        "b_item": b_item,
+    }
+
+
 @partial(jax.jit, static_argnames=("use_bias",))
 def eval_metrics(state: dict, ev: EvalSet, use_bias: bool):
     """Centered-scale validation RMSE + macro-MAE over in-range rows only
@@ -265,17 +346,37 @@ class GaussianMF(FactorModel):
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
         state = init_state(self.n_users, self.n_items, cfg)
 
-        def sweep_fn(s, d):
-            return sweep(
-                s,
-                d,
-                cfg.sigma2,
-                cfg.eta_theta2,
-                cfg.eta_beta2,
-                cfg.eta_bias2,
-                cfg.n_factors,
-                cfg.use_bias,
-            )
+        engine = resolve_engine(cfg.engine)
+        if engine.startswith("blocked"):
+            import jax as _jax
+
+            from pmf_tpu.data.blocked import build_blocked
+
+            u, i, x = as_triples(train_df)
+            blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
+                                    dtype=self._dtype)
+            precision = "fast" if engine.endswith("fast") else "high"
+            interpret = _jax.default_backend() == "cpu"
+
+            def sweep_fn(s, d):
+                return sweep_blocked(
+                    s, blocked, d.user_counts, d.item_counts,
+                    cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
+                    cfg.use_bias, precision=precision, interpret=interpret,
+                )
+        else:
+
+            def sweep_fn(s, d):
+                return sweep(
+                    s,
+                    d,
+                    cfg.sigma2,
+                    cfg.eta_theta2,
+                    cfg.eta_beta2,
+                    cfg.eta_bias2,
+                    cfg.n_factors,
+                    cfg.use_bias,
+                )
 
         def eval_fn(s, ev):
             return eval_metrics(s, ev, cfg.use_bias)

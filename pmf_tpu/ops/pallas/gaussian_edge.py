@@ -1,0 +1,225 @@
+"""Fused Gaussian-CAVI edge-pass Pallas kernels.
+
+The Gaussian coordinate blocks need two sufficient statistics per self row
+(`/root/reference/src/models/gaussian_mf_cavi_bias.py:132-201`):
+
+    S_i = sum_{j in Omega_i} (V_j + m_j m_j^T)        (K, K)
+    w_i = sum_{j in Omega_i} m_j * resid_ij           (K,)
+    resid_ij = x_ij [- b_self_i - b_other_j]
+
+and the bias blocks need (`gaussian_mf_cavi_bias.py:206-263`):
+
+    s_i = sum_{j in Omega_i} (x_ij - b_other_j - <m_self_i, m_other_j>)
+
+Everything per-edge is gathered through one-hot matmuls over an AUGMENTED
+other-row table  [m | (V + m m^T).flatten | b]  (K + K^2 + 1 columns), so
+one MXU gather delivers the mean, the second moment, and the bias of the
+edge's other row at once; the two statistics pack into one segment-sum
+matmul of width K + K^2.  Same blocked layout, segmentation, and padding
+semantics as `pmf_tpu.ops.pallas.cavi_edge`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pmf_tpu.data.blocked import BlockedPass
+
+_PRECS = {
+    "fast": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _factor_kernel(
+    sb_ref, ob_ref, sloc_ref, oloc_ref, x_ref, aug_ref, bself_ref,
+    out_ref, *, bs_self, bs_other, chunk_size, precision, k, use_bias,
+):
+    dtype = aug_ref.dtype
+    sloc = sloc_ref[:, :]
+    oloc = oloc_ref[:, :]
+    xv = x_ref[:, :]
+
+    onehot_s = (
+        sloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_self), 1)
+    ).astype(dtype)
+    onehot_o = (
+        oloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_other), 1)
+    ).astype(dtype)
+
+    g_aug = jnp.dot(onehot_o, aug_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)  # (C, K + K^2 [+1])
+    m_e = g_aug[:, :k]
+    if use_bias:
+        b_other_e = g_aug[:, k + k * k : k + k * k + 1]
+        b_self_e = jnp.dot(onehot_s, bself_ref[:], preferred_element_type=jnp.float32,
+                           precision=precision)
+        resid = xv - b_self_e - b_other_e
+    else:
+        resid = xv
+
+    payload = jnp.concatenate([m_e * resid, g_aug[:, k : k + k * k]], axis=1)
+
+    c = pl.program_id(0)
+    prev_sb = sb_ref[jnp.maximum(c - 1, 0)]
+
+    @pl.when((c == 0) | (sb_ref[c] != prev_sb))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    contract = (((0,), (0,)), ((), ()))
+    out_ref[:] += jax.lax.dot_general(
+        onehot_s, payload, contract, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _bias_kernel(
+    sb_ref, ob_ref, sloc_ref, oloc_ref, x_ref, aug_ref, mself_ref,
+    out_ref, *, bs_self, bs_other, chunk_size, precision, k,
+):
+    dtype = aug_ref.dtype
+    sloc = sloc_ref[:, :]
+    oloc = oloc_ref[:, :]
+    xv = x_ref[:, :]
+
+    onehot_s = (
+        sloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_self), 1)
+    ).astype(dtype)
+    onehot_o = (
+        oloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_other), 1)
+    ).astype(dtype)
+
+    g_aug = jnp.dot(onehot_o, aug_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)  # (C, K+1): [m_other | b_other]
+    m_self_e = jnp.dot(onehot_s, mself_ref[:], preferred_element_type=jnp.float32,
+                       precision=precision)
+    inter = jnp.sum(m_self_e * g_aug[:, :k], axis=1, keepdims=True)
+    resid = xv - g_aug[:, k : k + 1] - inter
+    # Padding edges: one-hot rows are all zero, so x contributes... x is 0
+    # for padding, and resid = 0 - 0 - 0 = 0 there anyway.
+
+    c = pl.program_id(0)
+    prev_sb = sb_ref[jnp.maximum(c - 1, 0)]
+
+    @pl.when((c == 0) | (sb_ref[c] != prev_sb))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    contract = (((0,), (0,)), ((), ()))
+    out_ref[:] += jax.lax.dot_general(
+        onehot_s, resid, contract, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_width):
+    """Shared scan-over-segments driver (see cavi_edge for the rationale)."""
+    n_segments = p.n_chunks // p.seg_chunks
+    max_blocks = max(p.seg_n_blocks)
+    out_rows = max_blocks * p.bs_self
+    K_out = out_width
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(p.seg_chunks,),
+        in_specs=[
+            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((p.bs_other, scalar_tables[0].shape[1]),
+                         lambda c, sb, ob: (ob[c], 0)),
+            pl.BlockSpec((p.bs_self, scalar_tables[1].shape[1]),
+                         lambda c, sb, ob: (sb[c], 0)),
+        ],
+        out_specs=pl.BlockSpec((p.bs_self, K_out), lambda c, sb, ob: (sb[c] - sb[0], 0)),
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, K_out), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_run_segmented.interpret,
+    )
+
+    C = p.chunk_size
+    S = p.seg_chunks
+    xs = (
+        p.chunk_self_block.reshape(n_segments, S),
+        p.chunk_other_block.reshape(n_segments, S),
+        p.self_loc.reshape(n_segments, S * C, 1),
+        p.other_loc.reshape(n_segments, S * C, 1),
+        p.x.reshape(n_segments, S * C, 1),
+        jnp.asarray([b * p.bs_self for b in p.seg_first_block], jnp.int32),
+        jnp.asarray([b * p.bs_self for b in p.seg_n_blocks], jnp.int32),
+    )
+    n_self_pad = p.n_self_blocks * p.bs_self
+    acc0 = jnp.zeros((n_self_pad + out_rows, K_out), jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
+
+    def body(acc, seg):
+        sb, ob, sl, ol, xv, r0, nr = seg
+        seg_out = call(sb, ob, sl, ol, xv, scalar_tables[0], scalar_tables[1])
+        seg_out = jnp.where(row_ids < nr, seg_out, 0.0)
+        zero = jnp.zeros((), r0.dtype)
+        region = jax.lax.dynamic_slice(acc, (r0, zero), (out_rows, K_out))
+        return jax.lax.dynamic_update_slice(acc, region + seg_out, (r0, zero)), None
+
+    acc, _ = jax.lax.scan(body, acc0, xs)
+    return acc[: p.n_self]
+
+
+_run_segmented.interpret = False
+
+
+@functools.partial(jax.jit, static_argnames=("use_bias", "precision", "interpret"))
+def gaussian_factor_stats(
+    m_other, V_other, b_self, b_other, p: BlockedPass,
+    use_bias: bool = True, precision: str = "high", interpret: bool = False,
+):
+    """Return (S_w (n_self, K), S_A (n_self, K, K)) for one factor block."""
+    K = m_other.shape[1]
+    n_other_pad = p.n_other_blocks * p.bs_other
+    n_self_pad = p.n_self_blocks * p.bs_self
+
+    A_flat = (V_other + m_other[:, :, None] * m_other[:, None, :]).reshape(-1, K * K)
+    aug = jnp.concatenate([m_other, A_flat, b_other[:, None]], axis=1)
+    aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
+    bself_tab = jnp.pad(b_self[:, None], ((0, n_self_pad - b_self.shape[0]), (0, 0)))
+
+    kernel = functools.partial(
+        _factor_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
+        chunk_size=p.chunk_size, precision=_PRECS[precision], k=K, use_bias=use_bias,
+    )
+    _run_segmented.interpret = interpret
+    out = _run_segmented(kernel, p, K + K * K, (aug, bself_tab), K + K * K)
+    _run_segmented.interpret = False
+    return out[:, :K], out[:, K:].reshape(-1, K, K)
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def gaussian_bias_stats(
+    m_self, m_other, b_other, p: BlockedPass,
+    precision: str = "high", interpret: bool = False,
+):
+    """Return s (n_self,): per-row sums of bias residuals."""
+    K = m_self.shape[1]
+    n_other_pad = p.n_other_blocks * p.bs_other
+    n_self_pad = p.n_self_blocks * p.bs_self
+    aug = jnp.concatenate([m_other, b_other[:, None]], axis=1)
+    aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
+    mself_tab = jnp.pad(m_self, ((0, n_self_pad - m_self.shape[0]), (0, 0)))
+
+    kernel = functools.partial(
+        _bias_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
+        chunk_size=p.chunk_size, precision=_PRECS[precision], k=K,
+    )
+    _run_segmented.interpret = interpret
+    out = _run_segmented(kernel, p, 1, (aug, mself_tab), 1)
+    _run_segmented.interpret = False
+    return out[:, 0]

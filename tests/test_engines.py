@@ -27,6 +27,23 @@ def test_hpf_engines_agree(small_splits):
     np.testing.assert_allclose(r_flat, r_blk, rtol=1e-4)
 
 
+def test_gaussian_engines_agree(small_splits):
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    mean = tx.mean()
+    train, val = (tu, ti, tx - mean), (vu, vi, vx - mean)
+    base = dict(n_factors=5, sigma2=0.5, eta_theta2=0.4, eta_beta2=0.4, eta_bias2=0.7,
+                max_iter=3, tol=None, verbose=False, dtype="float32", use_bias=True)
+    flat = _fit(GaussianMF, GaussianMFConfig(engine="flat", **base), train, val)
+    blocked = _fit(GaussianMF, GaussianMFConfig(engine="blocked_high", **base), train, val)
+    for k in ("m_theta", "m_beta", "b_user", "b_item", "V_theta"):
+        np.testing.assert_allclose(
+            np.asarray(flat.state[k]), np.asarray(blocked.state[k]),
+            rtol=5e-3, atol=2e-5, err_msg=k,
+        )
+
+
 def test_poisson_engines_agree(small_splits):
     (tu, ti, tx), (vu, vi, vx), _ = small_splits
     base = dict(n_factors=6, max_iter=4, tol=None, verbose=False, dtype="float32")
