@@ -87,6 +87,9 @@ def main(argv=None):
     parser.add_argument("--plot", default="model_comparison_plots.png")
     parser.add_argument("--params_out", default="model_comparison_params.txt")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--ranking", action="store_true",
+                        help="also compute test recall@10 / NDCG@10 "
+                             "(beyond the reference's metric set)")
     add_data_args(parser)
     args = parser.parse_args(argv)
 
@@ -106,8 +109,20 @@ def main(argv=None):
         try:
             res = run_model(run_name, train_df, val_df, test_df, config=config,
                             verbose=args.verbose)
-            res.pop("_model", None)
+            model = res.pop("_model", None)
             res["model"] = display
+            if args.ranking and model is not None:
+                from pmf_tpu.eval.ranking import ranking_metrics
+
+                theta, beta = model._point_estimates()
+                r = ranking_metrics(
+                    theta, beta,
+                    train_df["u"].to_numpy(), train_df["i"].to_numpy(),
+                    test_df["u"].to_numpy(), test_df["i"].to_numpy(),
+                    ks=(10,),
+                )
+                res["test_recall@10"] = r["recall@10"]
+                res["test_ndcg@10"] = r["ndcg@10"]
             rows.append(res)
             print(
                 f"train/val/test RMSE: {res['train_rmse']:.3f} / "
