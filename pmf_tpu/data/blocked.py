@@ -30,10 +30,11 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["self_loc", "other_loc", "x", "chunk_self_block", "chunk_other_block"],
+    data_fields=["self_loc", "other_loc", "x", "chunk_self_block", "chunk_other_block",
+                 "self_old_of_new", "other_old_of_new", "self_new_of_old"],
     meta_fields=["n_chunks", "chunk_size", "bs_self", "bs_other", "n_self", "n_other",
                  "n_self_blocks", "n_other_blocks", "nnz", "seg_chunks",
-                 "seg_first_block", "seg_n_blocks"],
+                 "seg_first_block", "seg_n_blocks", "reordered"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockedPass:
@@ -46,11 +47,21 @@ class BlockedPass:
     self-block-major sorted.
     """
 
+    # -- data fields (same order as register_dataclass data_fields) --
     self_loc: jax.Array
     other_loc: jax.Array
     x: jax.Array
     chunk_self_block: jax.Array
     chunk_other_block: jax.Array
+    # Popularity reordering: rows relabeled by descending rating count so
+    # head rows cluster into dense tiles (long-tail data would otherwise
+    # pad chunks heavily).  Kernel wrappers permute factor tables with
+    # old_of_new before the pass and map statistics back with new_of_old.
+    # Identity arrays when ``reordered`` is False.
+    self_old_of_new: jax.Array  # (n_self,) int32
+    other_old_of_new: jax.Array  # (n_other,) int32
+    self_new_of_old: jax.Array  # (n_self,) int32
+    # -- static metadata (same order as meta_fields) --
     n_chunks: int
     chunk_size: int
     bs_self: int
@@ -62,14 +73,15 @@ class BlockedPass:
     nnz: int
     # Segmentation for SMEM-bounded scalar prefetch: chunks are split into
     # uniform segments of exactly seg_chunks chunks (padded with dummy
-    # all-padding chunks), each invoked as its own pallas_call; segment s
-    # covers self blocks [seg_first_block[s], seg_first_block[s] +
-    # seg_n_blocks[s]).  Segments cut at block boundaries where possible;
-    # a block whose chunks straddle a cut simply contributes partial sums
-    # from both segments (assembled by addition).
+    # all-padding chunks); segment s covers self blocks
+    # [seg_first_block[s], seg_first_block[s] + seg_n_blocks[s]).  Segments
+    # cut at block boundaries where possible; a block whose chunks straddle
+    # a cut contributes partial sums from both segments (assembled by
+    # addition).
     seg_chunks: int
     seg_first_block: tuple
     seg_n_blocks: tuple
+    reordered: bool
 
 
 def _build_pass(
@@ -83,9 +95,27 @@ def _build_pass(
     chunk_size: int,
     dtype,
     seg_chunks: int = 4096,
+    reorder: bool = False,
 ) -> BlockedPass:
     n_self_blocks = -(-n_self // bs_self)
     n_other_blocks = -(-n_other // bs_other)
+
+    if reorder:
+        s_counts = np.bincount(s, minlength=n_self)
+        o_counts = np.bincount(o, minlength=n_other)
+        self_old_of_new = np.argsort(-s_counts, kind="stable").astype(np.int32)
+        other_old_of_new = np.argsort(-o_counts, kind="stable").astype(np.int32)
+        self_new_of_old = np.empty(n_self, dtype=np.int32)
+        self_new_of_old[self_old_of_new] = np.arange(n_self, dtype=np.int32)
+        other_new_of_old = np.empty(n_other, dtype=np.int32)
+        other_new_of_old[other_old_of_new] = np.arange(n_other, dtype=np.int32)
+        s = self_new_of_old[s]
+        o = other_new_of_old[o]
+    else:
+        self_old_of_new = np.arange(n_self, dtype=np.int32)
+        other_old_of_new = np.arange(n_other, dtype=np.int32)
+        self_new_of_old = np.arange(n_self, dtype=np.int32)
+
     sb = s // bs_self
     ob = o // bs_other
 
@@ -128,12 +158,12 @@ def _build_pass(
     # Trailing all-padding chunks for empty self blocks, then re-sort
     # chunks self-block-major (stable keeps tile order within block).
     chunk_sb[len(tile_of_chunk):] = missing_sb.astype(np.int32)
-    reorder = np.argsort(chunk_sb, kind="stable")
-    self_loc = self_loc[reorder]
-    other_loc = other_loc[reorder]
-    xc = xc[reorder]
-    chunk_sb = chunk_sb[reorder]
-    chunk_ob = chunk_ob[reorder]
+    chunk_order = np.argsort(chunk_sb, kind="stable")
+    self_loc = self_loc[chunk_order]
+    other_loc = other_loc[chunk_order]
+    xc = xc[chunk_order]
+    chunk_sb = chunk_sb[chunk_order]
+    chunk_ob = chunk_ob[chunk_order]
 
     # Segmentation: uniform segments of seg_chunks chunks, preferring cuts
     # at self-block boundaries (straddling allowed for oversized blocks).
@@ -192,6 +222,10 @@ def _build_pass(
         seg_chunks=seg_max,
         seg_first_block=tuple(seg_first),
         seg_n_blocks=tuple(seg_nblocks),
+        self_old_of_new=jnp.asarray(self_old_of_new),
+        other_old_of_new=jnp.asarray(other_old_of_new),
+        self_new_of_old=jnp.asarray(self_new_of_old),
+        reordered=reorder,
     )
 
 
@@ -217,6 +251,7 @@ def build_blocked(
     chunk_size: int = 512,
     dtype=np.float32,
     seg_chunks: int = 4096,
+    reorder: bool = False,
 ) -> BlockedCOO:
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
@@ -226,7 +261,7 @@ def build_blocked(
     if n_items is None:
         n_items = int(i.max()) + 1
     by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items,
-                          chunk_size, dtype, seg_chunks)
+                          chunk_size, dtype, seg_chunks, reorder)
     by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users,
-                          chunk_size, dtype, seg_chunks)
+                          chunk_size, dtype, seg_chunks, reorder)
     return BlockedCOO(by_user=by_user, by_item=by_item)

@@ -61,6 +61,12 @@ class GaussianMFConfig:
     dtype: str = "float32"
     # "flat" | "blocked_high" | "blocked_fast" | "auto" (see HPFConfig.engine).
     engine: str = "auto"
+    # "full": K x K posterior covariances (reference-exact).  "diag":
+    # diagonal covariances — a documented mean-field coarsening for very
+    # large row counts where (rows, K, K) covariance storage is infeasible
+    # (SURVEY.md §7 "Gaussian covariance memory").  Diag mode stores V as
+    # (rows, K) and runs on the flat engine.
+    covariance: str = "full"
 
 
 def init_state(n_users: int, n_items: int, cfg: GaussianMFConfig) -> dict:
@@ -72,12 +78,18 @@ def init_state(n_users: int, n_items: int, cfg: GaussianMFConfig) -> dict:
     dt = np.dtype(cfg.dtype)
     m_theta = (0.1 * rng.standard_normal((n_users, K))).astype(dt)
     m_beta = (0.1 * rng.standard_normal((n_items, K))).astype(dt)
-    eye = np.eye(K, dtype=dt)
+    if cfg.covariance == "diag":
+        v_theta = jnp.ones((n_users, K), dtype=dt)
+        v_beta = jnp.ones((n_items, K), dtype=dt)
+    else:
+        eye = np.eye(K, dtype=dt)
+        v_theta = jnp.asarray(np.broadcast_to(eye, (n_users, K, K)).copy())
+        v_beta = jnp.asarray(np.broadcast_to(eye, (n_items, K, K)).copy())
     state = {
         "m_theta": jnp.asarray(m_theta),
-        "V_theta": jnp.asarray(np.broadcast_to(eye, (n_users, K, K)).copy()),
+        "V_theta": v_theta,
         "m_beta": jnp.asarray(m_beta),
-        "V_beta": jnp.asarray(np.broadcast_to(eye, (n_items, K, K)).copy()),
+        "V_beta": v_beta,
         "b_user": jnp.zeros((n_users,), dtype=dt),
         "b_item": jnp.zeros((n_items,), dtype=dt),
     }
@@ -130,6 +142,53 @@ def _factor_block(
     return m_out, V_out
 
 
+def _factor_block_diag(
+    m_self,
+    v_self,
+    m_other,
+    v_other,
+    b_self,
+    b_other,
+    self_ids,
+    other_ids,
+    x,
+    counts,
+    eta2: float,
+    sigma2: float,
+    n_self: int,
+    use_bias: bool,
+):
+    """Diagonal-covariance factor block: per-coordinate mean-field update.
+
+    With q(theta_u) fully factorized over coordinates, the coordinate-k
+    update given the other coordinates' means is
+        prec_uk = 1/eta^2 + sum_j E[b_jk^2] / sigma^2
+        m_uk   = (sum_j m_jk (resid_uj - sum_{l != k} m_ul m_jl)) / (sigma^2 prec_uk)
+    solved jointly via the Jacobi-style closed form with cross terms from
+    the current means (one pass per block; a documented coarsening of the
+    reference's full-covariance update for very large row counts).
+    """
+    dtype = m_self.dtype
+    m_other_e = gather_rows(m_other, other_ids)
+    sq_e = gather_rows(v_other + m_other * m_other, other_ids)
+    if use_bias:
+        resid = x - gather_rows(b_self, self_ids) - gather_rows(b_other, other_ids)
+    else:
+        resid = x
+    # Cross-term handling: resid_k = resid - (pred - m_self_k m_other_k).
+    pred = edge_dot(gather_rows(m_self, self_ids), m_other_e)
+    S_sq = sorted_segment_sum(sq_e, self_ids, n_self)  # (n, K)
+    S_mr = sorted_segment_sum(m_other_e * (resid - pred)[:, None], self_ids, n_self)
+    S_mm = sorted_segment_sum(m_other_e * m_other_e, self_ids, n_self)  # sum m_jk^2
+    prec = 1.0 / jnp.asarray(eta2, dtype) + S_sq / jnp.asarray(sigma2, dtype)
+    v_new = 1.0 / prec
+    # numerator: sum_j m_jk resid_j - sum_j m_jk (pred_j - m_uk m_jk)
+    #          = S_mr + m_self_k * S_mm
+    m_new = (S_mr + m_self * S_mm) / (jnp.asarray(sigma2, dtype) * prec)
+    has = (counts > 0)[:, None]
+    return jnp.where(has, m_new, m_self), jnp.where(has, v_new, v_self)
+
+
 def _bias_block(
     b_self,
     b_other,
@@ -155,7 +214,7 @@ def _bias_block(
     return jnp.where(counts > 0, b_new, b_self)
 
 
-@partial(jax.jit, static_argnames=("n_factors", "use_bias"))
+@partial(jax.jit, static_argnames=("n_factors", "use_bias", "covariance"))
 def sweep(
     state: dict,
     data: RatingsCOO,
@@ -165,12 +224,14 @@ def sweep(
     eta_bias2: float,
     n_factors: int,
     use_bias: bool,
+    covariance: str = "full",
 ) -> dict:
     """One full CAVI iteration: theta block, beta block, then (optionally)
     user/item bias blocks, preserving the reference's block order and
     read-after-write structure."""
     del n_factors  # shape info lives in the arrays; kept static for clarity
-    m_theta, V_theta = _factor_block(
+    block = _factor_block if covariance == "full" else _factor_block_diag
+    m_theta, V_theta = block(
         state["m_theta"],
         state["V_theta"],
         state["m_beta"],
@@ -186,7 +247,7 @@ def sweep(
         data.n_users,
         use_bias,
     )
-    m_beta, V_beta = _factor_block(
+    m_beta, V_beta = block(
         state["m_beta"],
         state["V_beta"],
         m_theta,
@@ -347,6 +408,8 @@ class GaussianMF(FactorModel):
         state = init_state(self.n_users, self.n_items, cfg)
 
         engine = resolve_engine(cfg.engine)
+        if cfg.covariance != "full":
+            engine = "flat"  # diag mode runs on the flat engine
         if engine.startswith("blocked"):
             import jax as _jax
 
@@ -354,7 +417,7 @@ class GaussianMF(FactorModel):
 
             u, i, x = as_triples(train_df)
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
-                                    dtype=self._dtype)
+                                    dtype=self._dtype, reorder=True)
             precision = "fast" if engine.endswith("fast") else "high"
             interpret = _jax.default_backend() == "cpu"
 
@@ -376,6 +439,7 @@ class GaussianMF(FactorModel):
                     cfg.eta_bias2,
                     cfg.n_factors,
                     cfg.use_bias,
+                    cfg.covariance,
                 )
 
         def eval_fn(s, ev):

@@ -245,7 +245,7 @@ class HPF(FactorModel):
 
             u, i, x = as_triples(train_df)
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
-                                    dtype=self._dtype)
+                                    dtype=self._dtype, reorder=True)
             precision = "fast" if engine.endswith("fast") else "high"
             interpret = _jax.default_backend() == "cpu"
 

@@ -134,6 +134,9 @@ def poisson_edge_stats(
     K = e_self.shape[1]
     n_self_pad = p.n_self_blocks * p.bs_self
     n_other_pad = p.n_other_blocks * p.bs_other
+    if p.reordered:
+        e_self = jnp.take(e_self, p.self_old_of_new, axis=0)
+        e_other = jnp.take(e_other, p.other_old_of_new, axis=0)
     e_self_pad = jnp.pad(e_self, ((0, n_self_pad - e_self.shape[0]), (0, 0)))
     e_other_pad = jnp.pad(e_other, ((0, n_other_pad - e_other.shape[0]), (0, 0)))
 
@@ -211,4 +214,8 @@ def poisson_edge_stats(
         return acc, None
 
     acc, _ = jax.lax.scan(body, acc0, xs)
-    return acc[: p.n_self, :K], acc[: p.n_self, K:]
+    s_alloc, s_other = acc[: p.n_self, :K], acc[: p.n_self, K:]
+    if p.reordered:
+        s_alloc = jnp.take(s_alloc, p.self_new_of_old, axis=0)
+        s_other = jnp.take(s_other, p.self_new_of_old, axis=0)
+    return s_alloc, s_other

@@ -189,6 +189,9 @@ def gaussian_factor_stats(
 
     A_flat = (V_other + m_other[:, :, None] * m_other[:, None, :]).reshape(-1, K * K)
     aug = jnp.concatenate([m_other, A_flat, b_other[:, None]], axis=1)
+    if p.reordered:
+        aug = jnp.take(aug, p.other_old_of_new, axis=0)
+        b_self = jnp.take(b_self, p.self_old_of_new, axis=0)
     aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
     bself_tab = jnp.pad(b_self[:, None], ((0, n_self_pad - b_self.shape[0]), (0, 0)))
 
@@ -199,6 +202,8 @@ def gaussian_factor_stats(
     _run_segmented.interpret = interpret
     out = _run_segmented(kernel, p, K + K * K, (aug, bself_tab), K + K * K)
     _run_segmented.interpret = False
+    if p.reordered:
+        out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, :K], out[:, K:].reshape(-1, K, K)
 
 
@@ -212,6 +217,9 @@ def gaussian_bias_stats(
     n_other_pad = p.n_other_blocks * p.bs_other
     n_self_pad = p.n_self_blocks * p.bs_self
     aug = jnp.concatenate([m_other, b_other[:, None]], axis=1)
+    if p.reordered:
+        aug = jnp.take(aug, p.other_old_of_new, axis=0)
+        m_self = jnp.take(m_self, p.self_old_of_new, axis=0)
     aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
     mself_tab = jnp.pad(m_self, ((0, n_self_pad - m_self.shape[0]), (0, 0)))
 
@@ -222,4 +230,6 @@ def gaussian_bias_stats(
     _run_segmented.interpret = interpret
     out = _run_segmented(kernel, p, 1, (aug, mself_tab), 1)
     _run_segmented.interpret = False
+    if p.reordered:
+        out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, 0]

@@ -83,6 +83,33 @@ def test_blocked_segmented_matches_flat(small_ratings):
     np.testing.assert_allclose(np.asarray(got_other), np.asarray(ref_other), rtol=2e-5, atol=1e-5)
 
 
+def test_blocked_reordered_matches_flat(small_ratings):
+    """Popularity reordering must not change the statistics, and must
+    reduce chunk padding on skewed data."""
+    u, i, x = small_ratings
+    x = x + 1.0
+    n_users, n_items = int(u.max()) + 1, int(i.max()) + 1
+    rng = np.random.default_rng(5)
+    K = 8
+    e_theta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_users, K)).astype(np.float32))
+    e_beta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_items, K)).astype(np.float32))
+
+    flat = build_ratings(u, i, x, dtype=np.float32)
+    plain = build_blocked(u, i, x, block_users=32, block_items=32, chunk_size=128)
+    popular = build_blocked(u, i, x, block_users=32, block_items=32, chunk_size=128,
+                            reorder=True)
+    # Skewed synthetic data: reordering should not increase chunk count.
+    assert popular.by_user.n_chunks <= plain.by_user.n_chunks
+
+    ref_alloc, ref_other = _flat_stats(
+        e_theta, e_beta, flat.u_by_u, flat.i_by_u, flat.x_by_u, n_users
+    )
+    got_alloc, got_other = poisson_edge_stats(e_theta, e_beta, popular.by_user,
+                                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got_alloc), np.asarray(ref_alloc), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_other), np.asarray(ref_other), rtol=2e-5, atol=1e-5)
+
+
 def test_blocked_handles_empty_blocks():
     """Rows/blocks with no edges must produce zero statistics."""
     u = np.array([0, 0, 700])  # users 1..699 empty -> empty self blocks
