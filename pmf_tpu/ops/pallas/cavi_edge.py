@@ -58,7 +58,10 @@ def _kernel(
     precision,
     k: int,
 ):
-    dtype = eself_ref.dtype
+    # With bf16 factor tables (fast_bf16 mode) the one-hots are built in
+    # bf16 too: pure-bf16 MXU matmuls with f32 accumulation, no VPU
+    # conversion passes and half the block DMA traffic.
+    in_dtype = eself_ref.dtype
 
     sloc = sloc_ref[:, :]  # (C, 1)
     oloc = oloc_ref[:, :]  # (C, 1)
@@ -66,10 +69,10 @@ def _kernel(
 
     onehot_s = (
         sloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_self), 1)
-    ).astype(dtype)
+    ).astype(in_dtype)
     onehot_o = (
         oloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_other), 1)
-    ).astype(dtype)
+    ).astype(in_dtype)
 
     g_self = jnp.dot(
         onehot_s, eself_ref[:], preferred_element_type=jnp.float32, precision=precision
@@ -79,9 +82,10 @@ def _kernel(
     )
 
     rate = jnp.maximum(
-        jnp.sum(g_self * g_other, axis=1, keepdims=True), jnp.asarray(rate_floor, dtype)
+        jnp.sum(g_self * g_other, axis=1, keepdims=True),
+        jnp.asarray(rate_floor, jnp.float32),
     )
-    alloc = (xv / rate) * g_self * g_other
+    alloc = (xv.astype(jnp.float32) / rate) * g_self * g_other
 
     # First visit of this output block: zero the accumulators.
     c = pl.program_id(0)
@@ -94,7 +98,7 @@ def _kernel(
         sother_ref[:] = jnp.zeros_like(sother_ref)
 
     # Pack both payloads into one segment-sum matmul (2K lanes <= 128).
-    payload = jnp.concatenate([alloc, g_other], axis=1)  # (C, 2K)
+    payload = jnp.concatenate([alloc, g_other], axis=1).astype(in_dtype)  # (C, 2K)
     contract = (((0,), (0,)), ((), ()))  # onehot_s^T @ payload
     seg = jax.lax.dot_general(
         onehot_s, payload, contract, preferred_element_type=jnp.float32,
@@ -128,9 +132,13 @@ def poisson_edge_stats(
     """
     prec = {
         "fast": jax.lax.Precision.DEFAULT,
+        "fast_bf16": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGHEST,
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
+    if precision == "fast_bf16":
+        e_self = e_self.astype(jnp.bfloat16)
+        e_other = e_other.astype(jnp.bfloat16)
     K = e_self.shape[1]
     n_self_pad = p.n_self_blocks * p.bs_self
     n_other_pad = p.n_other_blocks * p.bs_other

@@ -92,3 +92,20 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree of arrays across the mesh."""
     rep = _replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), tree)
+
+
+def shard_state_rows(state: dict, mesh: Mesh) -> dict:
+    """Shard factor-state arrays over their leading (row) dimension — the
+    embedding-style model-parallel axis (SURVEY.md §2e TP): user/item rows
+    split across devices, K kept whole.  Arrays whose leading dimension is
+    not divisible by the mesh size stay replicated."""
+    n_dev = mesh.devices.size
+    row = NamedSharding(mesh, P(DATA_AXIS))
+    rep = _replicated(mesh)
+
+    def place(a):
+        if a.ndim >= 1 and a.shape[0] % n_dev == 0:
+            return jax.device_put(a, row)
+        return jax.device_put(a, rep)
+
+    return {k: place(v) for k, v in state.items()}

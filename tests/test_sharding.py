@@ -55,6 +55,48 @@ def test_gaussian_sweep_sharded_matches(small_ratings, mesh):
         )
 
 
+def test_row_sharded_state_matches(small_ratings, mesh):
+    """Factor rows sharded over the mesh (model-parallel axis) + edges
+    sharded: sweep must still match single-device results."""
+    from pmf_tpu.parallel import shard_state_rows
+
+    u, i, x = small_ratings
+    # Row counts divisible by 8 so rows actually shard.
+    data = build_ratings(u, i, x, n_users=128, n_items=88, dtype=np.float64)
+    data_sh = shard_ratings(data, mesh)
+    cfg = hpf.HPFConfig(n_factors=6, dtype="float64", verbose=False)
+    state = hpf.init_state(128, 88, cfg)
+    state_sh = shard_state_rows(state, mesh)
+    args = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
+    for _ in range(2):
+        state = hpf.sweep(state, data, *args)
+        state_sh = hpf.sweep(state_sh, data_sh, *args)
+    for k in state:
+        np.testing.assert_allclose(
+            np.asarray(state[k]), np.asarray(state_sh[k]), rtol=1e-12, err_msg=k
+        )
+
+
+def test_sweep_no_nans_under_debug(small_ratings):
+    """jax_debug_nans sanity: one sweep of each CAVI family must be
+    NaN-free (the race/NaN-detection hook of SURVEY §5.2)."""
+    import jax
+
+    u, i, x = small_ratings
+    data = build_ratings(u, i, x + 1.0, dtype=np.float64)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        cfg = hpf.HPFConfig(n_factors=4, dtype="float64", verbose=False)
+        state = hpf.init_state(data.n_users, data.n_items, cfg)
+        hpf.sweep(state, data, cfg.a, cfg.a_prime, cfg.b_prime, cfg.c,
+                  cfg.c_prime, cfg.d_prime)
+        pcfg = poisson_mf.PoissonMFConfig(n_factors=4, dtype="float64", verbose=False)
+        pstate = poisson_mf.init_state(data.n_users, data.n_items, pcfg)
+        poisson_mf.sweep(pstate, data, pcfg.a0, pcfg.b0, False)
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
 def test_poisson_sweep_sharded_matches(small_ratings, mesh):
     data, data_sh = _data_and_sharded(small_ratings, mesh)
     cfg = poisson_mf.PoissonMFConfig(n_factors=6, dtype="float64", verbose=False)
