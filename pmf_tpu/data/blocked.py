@@ -30,7 +30,7 @@ import numpy as np
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["self_loc", "other_loc", "x", "chunk_self_block", "chunk_other_block",
+    data_fields=["loc", "x", "chunk_self_block", "chunk_other_block",
                  "self_old_of_new", "other_old_of_new", "self_new_of_old"],
     meta_fields=["n_chunks", "chunk_size", "bs_self", "bs_other", "n_self", "n_other",
                  "n_self_blocks", "n_other_blocks", "nnz", "seg_chunks",
@@ -40,16 +40,18 @@ import numpy as np
 class BlockedPass:
     """One direction (self-major) of the blocked edge layout.
 
-    self_loc/other_loc: (n_chunks*chunk_size, 1) int32 local row indices
-    in column layout (one (chunk_size, 1) block per chunk); padding edges
-    carry self_loc == bs_self (maps to no one-hot row).
+    loc: (n_chunks*chunk_size, 1) int32 packed local row indices
+    (self << 16 | other) in column layout (one (chunk_size, 1) block per
+    chunk); padding edges carry self_loc == bs_self (maps to no one-hot
+    row).
     chunk_self_block / chunk_other_block: (n_chunks,) int32 block ids,
     self-block-major sorted.
     """
 
     # -- data fields (same order as register_dataclass data_fields) --
-    self_loc: jax.Array
-    other_loc: jax.Array
+    # Packed local indices: loc = self_loc << 16 | other_loc (one DMA
+    # stream instead of two; block sizes are <= 32768).
+    loc: jax.Array
     x: jax.Array
     chunk_self_block: jax.Array
     chunk_other_block: jax.Array
@@ -165,6 +167,29 @@ def _build_pass(
     chunk_sb = chunk_sb[chunk_order]
     chunk_ob = chunk_ob[chunk_order]
 
+    # Pair alignment: every self block gets an EVEN chunk count (one extra
+    # all-padding chunk for odd blocks) so kernels may process chunk PAIRS
+    # sharing a self block per grid step.  With even blocks, every segment
+    # cut at a block boundary lands on even parity automatically.
+    blocks_present, block_counts = np.unique(chunk_sb, return_counts=True)
+    odd_blocks = blocks_present[block_counts % 2 == 1]
+    if len(odd_blocks):
+        n_extra = len(odd_blocks)
+        self_loc = np.concatenate(
+            [self_loc, np.full((n_extra, C), bs_self, dtype=np.int32)])
+        other_loc = np.concatenate(
+            [other_loc, np.full((n_extra, C), bs_other, dtype=np.int32)])
+        xc = np.concatenate([xc, np.zeros((n_extra, C), dtype=dtype)])
+        chunk_sb = np.concatenate([chunk_sb, odd_blocks.astype(np.int32)])
+        chunk_ob = np.concatenate([chunk_ob, np.zeros(n_extra, dtype=np.int32)])
+        chunk_order = np.argsort(chunk_sb, kind="stable")
+        self_loc = self_loc[chunk_order]
+        other_loc = other_loc[chunk_order]
+        xc = xc[chunk_order]
+        chunk_sb = chunk_sb[chunk_order]
+        chunk_ob = chunk_ob[chunk_order]
+    total_chunks = len(chunk_sb)
+
     # Segmentation: uniform segments of seg_chunks chunks, preferring cuts
     # at self-block boundaries (straddling allowed for oversized blocks).
     seg_max = min(seg_chunks, total_chunks)
@@ -204,9 +229,9 @@ def _build_pass(
     # Column layout (n_chunks*C, 1): a (C, 1) block per grid step puts the
     # chunk's edges along sublanes, which is the layout the kernel's
     # one-hot compares want (and satisfies Mosaic block-shape rules).
+    packed = (f_self.astype(np.int32) << 16) | f_other.astype(np.int32)
     return BlockedPass(
-        self_loc=jnp.asarray(f_self.reshape(-1, 1)),
-        other_loc=jnp.asarray(f_other.reshape(-1, 1)),
+        loc=jnp.asarray(packed.reshape(-1, 1)),
         x=jnp.asarray(f_x.reshape(-1, 1)),
         chunk_self_block=jnp.asarray(f_sb),
         chunk_other_block=jnp.asarray(f_ob),

@@ -135,13 +135,24 @@ class FitLoop:
         return state
 
 
-def resolve_engine(engine: str) -> str:
-    """"auto" -> the Pallas blocked engine on accelerators, XLA flat on CPU."""
+def resolve_engine(engine: str, n_users=None, n_items=None, nnz=None) -> str:
+    """"auto" -> the Pallas blocked engine on accelerators when the data is
+    big and dense enough for its tiles, XLA flat otherwise (CPU, small
+    data, or so sparse that tile padding would dominate — e.g. recipe-
+    scale 700k edges over 25k x 178k rows)."""
     if engine != "auto":
         return engine
     import jax
 
-    return "flat" if jax.default_backend() == "cpu" else "blocked_high"
+    if jax.default_backend() == "cpu":
+        return "flat"
+    if nnz is not None and n_users and n_items:
+        if nnz < 2_000_000:
+            return "flat"
+        edges_per_tile = nnz * (512 * 512) / (n_users * n_items)
+        if edges_per_tile < 128:
+            return "flat"
+    return "blocked_high"
 
 
 def gaussian_stop_rule(prev: float, cur: float, tol) -> bool:

@@ -407,7 +407,7 @@ class GaussianMF(FactorModel):
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
         state = init_state(self.n_users, self.n_items, cfg)
 
-        engine = resolve_engine(cfg.engine)
+        engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
         if cfg.covariance != "full":
             engine = "flat"  # diag mode runs on the flat engine
         if engine.startswith("blocked"):
@@ -418,7 +418,8 @@ class GaussianMF(FactorModel):
             u, i, x = as_triples(train_df)
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
                                     dtype=self._dtype, reorder=True)
-            precision = "fast" if engine.endswith("fast") else "high"
+            precision = {"blocked_fast": "fast", "blocked_mid": "mid",
+                         "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"
 
             def sweep_fn(s, d):

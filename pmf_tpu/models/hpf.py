@@ -236,7 +236,7 @@ class HPF(FactorModel):
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
         state = init_state(self.n_users, self.n_items, cfg)
 
-        engine = resolve_engine(cfg.engine)
+        engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
         hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
         if engine.startswith("blocked"):
             import jax as _jax
@@ -246,7 +246,8 @@ class HPF(FactorModel):
             u, i, x = as_triples(train_df)
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
                                     dtype=self._dtype, reorder=True)
-            precision = "fast" if engine.endswith("fast") else "high"
+            precision = {"blocked_fast": "fast", "blocked_mid": "mid",
+                         "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"
 
             def sweep_fn(s, d):

@@ -8,8 +8,8 @@ a one-hot matmul on the 128x128 MXU:
 For each chunk of `C` edges, all belonging to one (self_block, other_block)
 tile of factor rows (`pmf_tpu.data.blocked.BlockedPass`):
 
-    onehot_self  = (self_loc  == iota)          (C, BS)
-    onehot_other = (other_loc == iota)          (C, BO)
+    onehot_self  = (self_loc  == iota)          (C, BS)  bf16 (exact)
+    onehot_other = (other_loc == iota)          (C, BO)  bf16 (exact)
     g_self  = onehot_self  @ E_self_block       (C, K)   MXU gather
     g_other = onehot_other @ E_other_block      (C, K)   MXU gather
     rate    = max(<g_self, g_other>, floor)     (C,)     VPU
@@ -17,11 +17,21 @@ tile of factor rows (`pmf_tpu.data.blocked.BlockedPass`):
     S_alloc_block  += onehot_self^T @ alloc     (BS, K)  MXU segment-sum
     S_other_block  += onehot_self^T @ g_other   (BS, K)  MXU segment-sum
 
+Precision via free lane padding: the MXU always processes 128 output
+lanes, so for K <= 21 a float32 operand can be decomposed into THREE
+stacked bf16 parts (hi, lo, lo2 — an exact bf16x3 representation) packed
+as extra columns of the SAME matmul.  One-hot gathers reconstruct the
+f32 values exactly; segment sums accumulate each part in f32 and
+recombine — f32-exact statistics at single-bf16-pass cost ("high", the
+default).  "fast" uses one part (~5e-3 stat noise); "highest" uses
+Mosaic's HIGHEST f32 dot (reference cross-check, ~3x slower).
+
 Chunks are self-block-major, so each output block accumulates in VMEM
-across consecutive grid steps and spills to HBM exactly once (the
-standard revisited-output pattern).  Padding edges carry local index ==
-block_size, matching no one-hot column, and rating 0 — they contribute
-exactly zero.
+across consecutive grid steps (revisited-output pattern).  Padding edges
+carry local index == block_size, matching no one-hot column, and rating
+0 — they contribute exactly zero.  Chunks run in uniform segments under
+ONE lax.scan (single Mosaic kernel compile; scalar-prefetch SMEM bounded
+at any nnz).
 
 This computes the sufficient statistics of the reference's per-row update
 loops (`/root/reference/src/models/poisson_mf_cavi.py:135-164`,
@@ -40,72 +50,122 @@ from jax.experimental.pallas import tpu as pltpu
 from pmf_tpu.data.blocked import BlockedPass
 
 
+def _trunc_hi16(x: jax.Array) -> jax.Array:
+    """The top-16-bit (sign+exponent+7 mantissa bits) part of an f32 array,
+    still as f32 — i.e. an exactly-bf16-representable truncation.  Done
+    with integer masking so --xla_allow_excess_precision (set on this
+    platform) cannot elide the round-trip the way it elides
+    ``x - f32(bf16(x))``."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def decompose_bf16(x: jax.Array, parts: int) -> jax.Array:
+    """Exact bf16x<parts> column decomposition: (rows, K) f32 ->
+    (rows, parts*K) bf16 with sum of parts == x (to ~f32 precision).
+    Each part is a bit-truncated slice of the mantissa, so its bf16
+    conversion is exact (no rounding) except for the final remainder."""
+    outs = []
+    r = x.astype(jnp.float32)
+    for p in range(parts):
+        h = _trunc_hi16(r) if p < parts - 1 else r
+        outs.append(h.astype(jnp.bfloat16))
+        r = r - h
+    return jnp.concatenate(outs, axis=1)
+
+
+def _recombine(g: jax.Array, k: int, parts: int) -> jax.Array:
+    """Sum the ``parts`` K-column groups of a (C, parts*K) f32 array."""
+    out = g[:, :k]
+    for p in range(1, parts):
+        out = out + g[:, p * k : (p + 1) * k]
+    return out
+
+
 def _kernel(
-    sb_ref,  # scalar prefetch: (n_chunks,) chunk -> self block
-    ob_ref,  # scalar prefetch: (n_chunks,) chunk -> other block
-    sloc_ref,  # (C, 1) int32
-    oloc_ref,  # (C, 1) int32
-    x_ref,  # (C, 1) float
-    eself_ref,  # (BS, K) float
-    eother_ref,  # (BO, K) float
-    salloc_ref,  # out (BS, K)
-    sother_ref,  # out (BS, K)
+    sb_ref,  # scalar prefetch: (seg_chunks,) chunk -> self block
+    ob_ref,  # scalar prefetch: (seg_chunks,) chunk -> other block
+    loc_ref,  # (2C, 1) int32, packed self<<16 | other, two chunks
+    x_ref,  # (2C, 1) float32
+    eself_ref,  # (BS, parts*K) bf16  (or (BS, K) f32 for "highest")
+    eother_a_ref,  # (BO, parts*K) bf16 — first chunk's other block
+    eother_b_ref,  # (BO, parts*K) bf16 — second chunk's other block
+    out_ref,  # out (BS, 2K) f32: [S_alloc | S_other]
     *,
     bs_self: int,
     bs_other: int,
     chunk_size: int,
     rate_floor: float,
-    precision,
     k: int,
+    parts: int,
+    highest: bool,
 ):
-    # With bf16 factor tables (fast_bf16 mode) the one-hots are built in
-    # bf16 too: pure-bf16 MXU matmuls with f32 accumulation, no VPU
-    # conversion passes and half the block DMA traffic.
+    """Each grid step processes a PAIR of chunks sharing one self block
+    (the builder pads every self block to an even chunk count), halving
+    the per-step fixed cost."""
     in_dtype = eself_ref.dtype
+    prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+    C = chunk_size
 
-    sloc = sloc_ref[:, :]  # (C, 1)
-    oloc = oloc_ref[:, :]  # (C, 1)
-    xv = x_ref[:, :]  # (C, 1)
+    packed = loc_ref[:, :]  # (2C, 1)
+    sloc = jax.lax.shift_right_logical(packed, jnp.int32(16))
+    oloc = jax.lax.bitwise_and(packed, jnp.int32(0xFFFF))
+    xv = x_ref[:, :]
 
     onehot_s = (
-        sloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_self), 1)
+        sloc == jax.lax.broadcasted_iota(jnp.int32, (2 * C, bs_self), 1)
     ).astype(in_dtype)
-    onehot_o = (
-        oloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_other), 1)
+    onehot_oa = (
+        oloc[:C] == jax.lax.broadcasted_iota(jnp.int32, (C, bs_other), 1)
+    ).astype(in_dtype)
+    onehot_ob = (
+        oloc[C:] == jax.lax.broadcasted_iota(jnp.int32, (C, bs_other), 1)
     ).astype(in_dtype)
 
-    g_self = jnp.dot(
-        onehot_s, eself_ref[:], preferred_element_type=jnp.float32, precision=precision
+    g_self = _recombine(
+        jnp.dot(onehot_s, eself_ref[:], preferred_element_type=jnp.float32,
+                precision=prec),
+        k, parts,
     )
-    g_other = jnp.dot(
-        onehot_o, eother_ref[:], preferred_element_type=jnp.float32, precision=precision
+    g_other = jnp.concatenate(
+        [
+            jnp.dot(onehot_oa, eother_a_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec),
+            jnp.dot(onehot_ob, eother_b_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec),
+        ],
+        axis=0,
     )
+    g_other = _recombine(g_other, k, parts)
 
     rate = jnp.maximum(
         jnp.sum(g_self * g_other, axis=1, keepdims=True),
         jnp.asarray(rate_floor, jnp.float32),
     )
-    alloc = (xv.astype(jnp.float32) / rate) * g_self * g_other
+    alloc = (xv / rate) * g_self * g_other
 
     # First visit of this output block: zero the accumulators.
     c = pl.program_id(0)
-    prev_sb = sb_ref[jnp.maximum(c - 1, 0)]
-    is_first = (c == 0) | (sb_ref[c] != prev_sb)
+    prev_sb = sb_ref[jnp.maximum(2 * c - 2, 0)]
+    is_first = (c == 0) | (sb_ref[2 * c] != prev_sb)
 
     @pl.when(is_first)
     def _():
-        salloc_ref[:] = jnp.zeros_like(salloc_ref)
-        sother_ref[:] = jnp.zeros_like(sother_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    # Pack both payloads into one segment-sum matmul (2K lanes <= 128).
-    payload = jnp.concatenate([alloc, g_other], axis=1).astype(in_dtype)  # (C, 2K)
+    # Both statistics in one segment-sum matmul; bf16x<parts> payload
+    # decomposition rides the same free lanes (2*parts*K <= 128 for K=20).
+    payload = jnp.concatenate([alloc, g_other], axis=1)  # (2C, 2K) f32
+    if highest:
+        payload_in = payload
+    else:
+        payload_in = decompose_bf16(payload, parts)  # (C, parts*2K) bf16
     contract = (((0,), (0,)), ((), ()))  # onehot_s^T @ payload
     seg = jax.lax.dot_general(
-        onehot_s, payload, contract, preferred_element_type=jnp.float32,
-        precision=precision,
+        onehot_s, payload_in, contract, preferred_element_type=jnp.float32,
+        precision=prec,
     )
-    salloc_ref[:] += seg[:, :k]
-    sother_ref[:] += seg[:, k:]
+    out_ref[:] += _recombine(seg, 2 * k, 1 if highest else parts)
 
 
 @functools.partial(jax.jit, static_argnames=("rate_floor", "interpret", "precision"))
@@ -120,60 +180,56 @@ def poisson_edge_stats(
     """Compute (S_alloc, S_other) segment sums over self rows.
 
     e_self: (n_self, K), e_other: (n_other, K).  Returns two (n_self, K)
-    arrays:  S_alloc[r] = sum_{edges of r} x * g_self * g_other / rate,
+    f32 arrays:  S_alloc[r] = sum_{edges of r} x * g_self * g_other / rate,
     S_other[r] = sum_{edges of r} g_other — the two sufficient statistics
     of every Poisson-family coordinate block.
 
-    ``precision`` controls the MXU pass count for the one-hot matmuls:
-    "high" (multi-pass bf16, ~f32-exact — the default for numerical parity
-    with the reference) or "fast" (single bf16 pass, ~5e-3 relative noise
-    in the statistics; CAVI remains stable, use for throughput).
-    (Mosaic supports only DEFAULT and HIGHEST dot precisions.)
+    precision: "high" (bf16x3 lane-packed, f32-exact, default),
+    "fast" (single bf16 pass, ~5e-3 stat noise), "highest" (Mosaic
+    HIGHEST f32 dots; cross-check only, ~3x slower).
     """
-    prec = {
-        "fast": jax.lax.Precision.DEFAULT,
-        "fast_bf16": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGHEST,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[precision]
-    if precision == "fast_bf16":
-        e_self = e_self.astype(jnp.bfloat16)
-        e_other = e_other.astype(jnp.bfloat16)
+    parts = {"fast": 1, "fast_bf16": 1, "mid": 2, "high": 3, "highest": 1}[precision]
+    highest = precision == "highest"
     K = e_self.shape[1]
     n_self_pad = p.n_self_blocks * p.bs_self
     n_other_pad = p.n_other_blocks * p.bs_other
     if p.reordered:
         e_self = jnp.take(e_self, p.self_old_of_new, axis=0)
         e_other = jnp.take(e_other, p.other_old_of_new, axis=0)
-    e_self_pad = jnp.pad(e_self, ((0, n_self_pad - e_self.shape[0]), (0, 0)))
-    e_other_pad = jnp.pad(e_other, ((0, n_other_pad - e_other.shape[0]), (0, 0)))
+    if highest:
+        e_self_t = e_self.astype(jnp.float32)
+        e_other_t = e_other.astype(jnp.float32)
+    else:
+        e_self_t = decompose_bf16(e_self, parts)
+        e_other_t = decompose_bf16(e_other, parts)
+    e_self_pad = jnp.pad(e_self_t, ((0, n_self_pad - e_self_t.shape[0]), (0, 0)))
+    e_other_pad = jnp.pad(e_other_t, ((0, n_other_pad - e_other_t.shape[0]), (0, 0)))
 
     # Segmented invocation: uniform segments of seg_chunks chunks, with
     # output rows RELATIVE to the segment's first self block (sb[c] -
     # sb[0]); keeps the scalar-prefetch arrays small enough for SMEM at
     # any nnz.  Segments run under ONE lax.scan so exactly one Mosaic
-    # kernel is compiled regardless of segment count (remote compiles are
-    # expensive, and many unrolled pallas_calls overwhelm the compiler).
-    # Per-segment partial sums are assembled by masked dynamic-slice
-    # addition (a block straddling a segment cut contributes from both).
+    # kernel is compiled regardless of segment count.  Per-segment partial
+    # sums are assembled by masked dynamic-slice addition (a block
+    # straddling a segment cut contributes from both).
     n_segments = p.n_chunks // p.seg_chunks
     max_blocks = max(p.seg_n_blocks)
     out_rows = max_blocks * p.bs_self
+    KT = e_self_pad.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(p.seg_chunks,),
+        grid=(p.seg_chunks // 2,),
         in_specs=[
-            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
-            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
-            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
-            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c], 0)),
-            pl.BlockSpec((p.bs_other, K), lambda c, sb, ob: (ob[c], 0)),
+            pl.BlockSpec((2 * p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((2 * p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((p.bs_self, KT), lambda c, sb, ob: (sb[2 * c], 0)),
+            pl.BlockSpec((p.bs_other, KT), lambda c, sb, ob: (ob[2 * c], 0)),
+            pl.BlockSpec((p.bs_other, KT), lambda c, sb, ob: (ob[2 * c + 1], 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c] - sb[0], 0)),
-            pl.BlockSpec((p.bs_self, K), lambda c, sb, ob: (sb[c] - sb[0], 0)),
-        ],
+        out_specs=pl.BlockSpec(
+            (p.bs_self, 2 * K), lambda c, sb, ob: (sb[2 * c] - sb[0], 0)
+        ),
     )
 
     kernel = functools.partial(
@@ -182,15 +238,13 @@ def poisson_edge_stats(
         bs_other=p.bs_other,
         chunk_size=p.chunk_size,
         rate_floor=rate_floor,
-        precision=prec,
         k=K,
+        parts=parts,
+        highest=highest,
     )
     call = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((out_rows, K), jnp.float32),
-            jax.ShapeDtypeStruct((out_rows, K), jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((out_rows, 2 * K), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )
@@ -200,8 +254,7 @@ def poisson_edge_stats(
     xs = (
         p.chunk_self_block.reshape(n_segments, S),
         p.chunk_other_block.reshape(n_segments, S),
-        p.self_loc.reshape(n_segments, S * C, 1),
-        p.other_loc.reshape(n_segments, S * C, 1),
+        p.loc.reshape(n_segments, S * C, 1),
         p.x.reshape(n_segments, S * C, 1),
         jnp.asarray([b * p.bs_self for b in p.seg_first_block], jnp.int32),
         jnp.asarray([b * p.bs_self for b in p.seg_n_blocks], jnp.int32),
@@ -212,9 +265,8 @@ def poisson_edge_stats(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
 
     def body(acc, seg):
-        sb, ob, sl, ol, xv, r0, nr = seg
-        sa_seg, so_seg = call(sb, ob, sl, ol, xv, e_self_pad, e_other_pad)
-        contrib = jnp.concatenate([sa_seg, so_seg], axis=1)
+        sb, ob, locv, xv, r0, nr = seg
+        contrib = call(sb, ob, locv, xv, e_self_pad, e_other_pad, e_other_pad)
         contrib = jnp.where(row_ids < nr, contrib, 0.0)
         zero = jnp.zeros((), r0.dtype)
         region = jax.lax.dynamic_slice(acc, (r0, zero), (out_rows, 2 * K))

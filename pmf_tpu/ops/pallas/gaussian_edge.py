@@ -38,12 +38,15 @@ _PRECS = {
 
 
 def _factor_kernel(
-    sb_ref, ob_ref, sloc_ref, oloc_ref, x_ref, aug_ref, bself_ref,
+    sb_ref, ob_ref, loc_ref, x_ref, aug_ref, bself_ref,
     out_ref, *, bs_self, bs_other, chunk_size, precision, k, use_bias,
 ):
+    import jax.lax as lax
+
     dtype = aug_ref.dtype
-    sloc = sloc_ref[:, :]
-    oloc = oloc_ref[:, :]
+    packed = loc_ref[:, :]
+    sloc = lax.shift_right_logical(packed, jnp.int32(16))
+    oloc = lax.bitwise_and(packed, jnp.int32(0xFFFF))
     xv = x_ref[:, :]
 
     onehot_s = (
@@ -81,12 +84,15 @@ def _factor_kernel(
 
 
 def _bias_kernel(
-    sb_ref, ob_ref, sloc_ref, oloc_ref, x_ref, aug_ref, mself_ref,
+    sb_ref, ob_ref, loc_ref, x_ref, aug_ref, mself_ref,
     out_ref, *, bs_self, bs_other, chunk_size, precision, k,
 ):
+    import jax.lax as lax
+
     dtype = aug_ref.dtype
-    sloc = sloc_ref[:, :]
-    oloc = oloc_ref[:, :]
+    packed = loc_ref[:, :]
+    sloc = lax.shift_right_logical(packed, jnp.int32(16))
+    oloc = lax.bitwise_and(packed, jnp.int32(0xFFFF))
     xv = x_ref[:, :]
 
     onehot_s = (
@@ -132,7 +138,6 @@ def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_wid
         in_specs=[
             pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
             pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
-            pl.BlockSpec((p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
             pl.BlockSpec((p.bs_other, scalar_tables[0].shape[1]),
                          lambda c, sb, ob: (ob[c], 0)),
             pl.BlockSpec((p.bs_self, scalar_tables[1].shape[1]),
@@ -152,8 +157,7 @@ def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_wid
     xs = (
         p.chunk_self_block.reshape(n_segments, S),
         p.chunk_other_block.reshape(n_segments, S),
-        p.self_loc.reshape(n_segments, S * C, 1),
-        p.other_loc.reshape(n_segments, S * C, 1),
+        p.loc.reshape(n_segments, S * C, 1),
         p.x.reshape(n_segments, S * C, 1),
         jnp.asarray([b * p.bs_self for b in p.seg_first_block], jnp.int32),
         jnp.asarray([b * p.bs_self for b in p.seg_n_blocks], jnp.int32),
@@ -163,8 +167,8 @@ def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_wid
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
 
     def body(acc, seg):
-        sb, ob, sl, ol, xv, r0, nr = seg
-        seg_out = call(sb, ob, sl, ol, xv, scalar_tables[0], scalar_tables[1])
+        sb, ob, locv, xv, r0, nr = seg
+        seg_out = call(sb, ob, locv, xv, scalar_tables[0], scalar_tables[1])
         seg_out = jnp.where(row_ids < nr, seg_out, 0.0)
         zero = jnp.zeros((), r0.dtype)
         region = jax.lax.dynamic_slice(acc, (r0, zero), (out_rows, K_out))
