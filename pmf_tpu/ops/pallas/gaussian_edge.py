@@ -29,21 +29,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pmf_tpu.data.blocked import BlockedPass
+from pmf_tpu.ops.pallas.cavi_edge import _recombine, decompose_bf16
 
-_PRECS = {
-    "fast": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGHEST,
-    "highest": jax.lax.Precision.HIGHEST,
-}
+# Gaussian parts policy: the second-moment payload is K^2 wide (already
+# several 128-lane tiles), so each extra bf16 part costs real matmul
+# tiles.  "high" uses bf16x2 (~2e-5 statistic error — far below the 5e-4
+# engine-parity gates); "highest" keeps Mosaic HIGHEST f32 dots for exact
+# cross-checks.
+_PARTS = {"fast": 1, "mid": 2, "high": 2, "highest": 0}
 
 
 def _factor_kernel(
     sb_ref, ob_ref, loc_ref, x_ref, aug_ref, bself_ref,
-    out_ref, *, bs_self, bs_other, chunk_size, precision, k, use_bias,
+    out_ref, *, bs_self, bs_other, chunk_size, parts, highest, k, use_bias,
 ):
     import jax.lax as lax
 
     dtype = aug_ref.dtype
+    prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
+    w = k + k * k + 1  # [m | A.flat | b] group width
     packed = loc_ref[:, :]
     sloc = lax.shift_right_logical(packed, jnp.int32(16))
     oloc = lax.bitwise_and(packed, jnp.int32(0xFFFF))
@@ -56,18 +60,25 @@ def _factor_kernel(
         oloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_other), 1)
     ).astype(dtype)
 
-    g_aug = jnp.dot(onehot_o, aug_ref[:], preferred_element_type=jnp.float32,
-                    precision=precision)  # (C, K + K^2 [+1])
+    g_aug = _recombine(
+        jnp.dot(onehot_o, aug_ref[:], preferred_element_type=jnp.float32,
+                precision=prec),
+        w, parts,
+    )  # (C, K + K^2 + 1) f32
     m_e = g_aug[:, :k]
     if use_bias:
         b_other_e = g_aug[:, k + k * k : k + k * k + 1]
-        b_self_e = jnp.dot(onehot_s, bself_ref[:], preferred_element_type=jnp.float32,
-                           precision=precision)
+        b_self_e = _recombine(
+            jnp.dot(onehot_s, bself_ref[:], preferred_element_type=jnp.float32,
+                    precision=prec),
+            1, parts,
+        )
         resid = xv - b_self_e - b_other_e
     else:
         resid = xv
 
     payload = jnp.concatenate([m_e * resid, g_aug[:, k : k + k * k]], axis=1)
+    payload_in = payload if highest else decompose_bf16(payload, parts)
 
     c = pl.program_id(0)
     prev_sb = sb_ref[jnp.maximum(c - 1, 0)]
@@ -77,19 +88,21 @@ def _factor_kernel(
         out_ref[:] = jnp.zeros_like(out_ref)
 
     contract = (((0,), (0,)), ((), ()))
-    out_ref[:] += jax.lax.dot_general(
-        onehot_s, payload, contract, preferred_element_type=jnp.float32,
-        precision=precision,
+    seg = jax.lax.dot_general(
+        onehot_s, payload_in, contract, preferred_element_type=jnp.float32,
+        precision=prec,
     )
+    out_ref[:] += _recombine(seg, k + k * k, 1 if highest else parts)
 
 
 def _bias_kernel(
     sb_ref, ob_ref, loc_ref, x_ref, aug_ref, mself_ref,
-    out_ref, *, bs_self, bs_other, chunk_size, precision, k,
+    out_ref, *, bs_self, bs_other, chunk_size, parts, highest, k,
 ):
     import jax.lax as lax
 
     dtype = aug_ref.dtype
+    prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
     packed = loc_ref[:, :]
     sloc = lax.shift_right_logical(packed, jnp.int32(16))
     oloc = lax.bitwise_and(packed, jnp.int32(0xFFFF))
@@ -102,14 +115,19 @@ def _bias_kernel(
         oloc == jax.lax.broadcasted_iota(jnp.int32, (chunk_size, bs_other), 1)
     ).astype(dtype)
 
-    g_aug = jnp.dot(onehot_o, aug_ref[:], preferred_element_type=jnp.float32,
-                    precision=precision)  # (C, K+1): [m_other | b_other]
-    m_self_e = jnp.dot(onehot_s, mself_ref[:], preferred_element_type=jnp.float32,
-                       precision=precision)
+    g_aug = _recombine(
+        jnp.dot(onehot_o, aug_ref[:], preferred_element_type=jnp.float32,
+                precision=prec),
+        k + 1, parts,
+    )  # (C, K+1): [m_other | b_other]
+    m_self_e = _recombine(
+        jnp.dot(onehot_s, mself_ref[:], preferred_element_type=jnp.float32,
+                precision=prec),
+        k, parts,
+    )
     inter = jnp.sum(m_self_e * g_aug[:, :k], axis=1, keepdims=True)
     resid = xv - g_aug[:, k : k + 1] - inter
-    # Padding edges: one-hot rows are all zero, so x contributes... x is 0
-    # for padding, and resid = 0 - 0 - 0 = 0 there anyway.
+    # Padding edges: one-hot rows are all zero and x is 0, so resid = 0.
 
     c = pl.program_id(0)
     prev_sb = sb_ref[jnp.maximum(c - 1, 0)]
@@ -119,10 +137,12 @@ def _bias_kernel(
         out_ref[:] = jnp.zeros_like(out_ref)
 
     contract = (((0,), (0,)), ((), ()))
-    out_ref[:] += jax.lax.dot_general(
-        onehot_s, resid, contract, preferred_element_type=jnp.float32,
-        precision=precision,
+    resid_in = resid if highest else decompose_bf16(resid, parts)
+    seg = jax.lax.dot_general(
+        onehot_s, resid_in, contract, preferred_element_type=jnp.float32,
+        precision=prec,
     )
+    out_ref[:] += _recombine(seg, 1, 1 if highest else parts)
 
 
 def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_width):
@@ -191,17 +211,24 @@ def gaussian_factor_stats(
     n_other_pad = p.n_other_blocks * p.bs_other
     n_self_pad = p.n_self_blocks * p.bs_self
 
+    parts = _PARTS[precision]
+    highest = parts == 0
+    parts = max(parts, 1)
     A_flat = (V_other + m_other[:, :, None] * m_other[:, None, :]).reshape(-1, K * K)
     aug = jnp.concatenate([m_other, A_flat, b_other[:, None]], axis=1)
     if p.reordered:
         aug = jnp.take(aug, p.other_old_of_new, axis=0)
         b_self = jnp.take(b_self, p.self_old_of_new, axis=0)
+    bself = b_self[:, None]
+    if not highest:
+        aug = decompose_bf16(aug, parts)
+        bself = decompose_bf16(bself, parts)
     aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
-    bself_tab = jnp.pad(b_self[:, None], ((0, n_self_pad - b_self.shape[0]), (0, 0)))
+    bself_tab = jnp.pad(bself, ((0, n_self_pad - bself.shape[0]), (0, 0)))
 
     kernel = functools.partial(
         _factor_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
-        chunk_size=p.chunk_size, precision=_PRECS[precision], k=K, use_bias=use_bias,
+        chunk_size=p.chunk_size, parts=parts, highest=highest, k=K, use_bias=use_bias,
     )
     _run_segmented.interpret = interpret
     out = _run_segmented(kernel, p, K + K * K, (aug, bself_tab), K + K * K)
@@ -220,16 +247,22 @@ def gaussian_bias_stats(
     K = m_self.shape[1]
     n_other_pad = p.n_other_blocks * p.bs_other
     n_self_pad = p.n_self_blocks * p.bs_self
+    parts = _PARTS[precision]
+    highest = parts == 0
+    parts = max(parts, 1)
     aug = jnp.concatenate([m_other, b_other[:, None]], axis=1)
     if p.reordered:
         aug = jnp.take(aug, p.other_old_of_new, axis=0)
         m_self = jnp.take(m_self, p.self_old_of_new, axis=0)
+    if not highest:
+        aug = decompose_bf16(aug, parts)
+        m_self = decompose_bf16(m_self, parts)
     aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
     mself_tab = jnp.pad(m_self, ((0, n_self_pad - m_self.shape[0]), (0, 0)))
 
     kernel = functools.partial(
         _bias_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
-        chunk_size=p.chunk_size, precision=_PRECS[precision], k=K,
+        chunk_size=p.chunk_size, parts=parts, highest=highest, k=K,
     )
     _run_segmented.interpret = interpret
     out = _run_segmented(kernel, p, 1, (aug, mself_tab), 1)
