@@ -72,10 +72,46 @@ def analyze_processed(train_df, val_df, test_df, out_dir=OUT_DIR):
     return stats
 
 
+def analyze_raw(raw_dir: str = "data/raw", out_dir: str = OUT_DIR):
+    """Raw-data stats (the reference's ``analyze_raw``): rating histogram
+    and user/item long tails straight from RAW_interactions.csv."""
+    plt = _plt()
+    path = os.path.join(raw_dir, "RAW_interactions.csv")
+    if not os.path.exists(path):
+        print(f"skip raw analysis: {path} not found")
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    df = pd.read_csv(path, usecols=["user_id", "recipe_id", "rating"])
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    df["rating"].value_counts().sort_index().plot.bar(ax=ax)
+    ax.set_title("Rating distribution (raw)")
+    fig.savefig(os.path.join(out_dir, "raw_rating_distribution.png"), dpi=120,
+                bbox_inches="tight")
+    plt.close(fig)
+    for col, name in (("user_id", "raw_user_activity"), ("recipe_id", "raw_item_popularity")):
+        counts = df[col].value_counts().to_numpy()
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.loglog(np.arange(1, len(counts) + 1), np.sort(counts)[::-1])
+        ax.set_title(f"{name} long tail")
+        fig.savefig(os.path.join(out_dir, f"{name}_longtail.png"), dpi=120,
+                    bbox_inches="tight")
+        plt.close(fig)
+    stats = {"n_rows": len(df), "n_users": int(df["user_id"].nunique()),
+             "n_items": int(df["recipe_id"].nunique())}
+    print(f"raw stats: {stats}")
+    return stats
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Exploratory analysis")
+    parser.add_argument("--raw", action="store_true",
+                        help="also analyze data/raw/RAW_interactions.csv")
+    parser.add_argument("--raw_dir", default="data/raw")
     add_data_args(parser)
     args = parser.parse_args(argv)
+    if args.raw:
+        analyze_raw(args.raw_dir)
     train_df, val_df, test_df = get_splits(args)
     return analyze_processed(train_df, val_df, test_df)
 

@@ -133,28 +133,41 @@ def load_all_splits_centered(processed_dir: str = PROCESSED_DIR):
 def legacy_generate_processed_data(raw_dir: str = RAW_DIR, processed_dir: str = PROCESSED_DIR, seed: int = 42):
     """The reference's superseded alternative preprocessing
     (`/root/reference/src/utils/generate_processed_data.py`): map
-    RAW_interactions through the Kaggle PP id maps, filter recipes with
-    >= 10 reviews, random 80/10/10 row split -> train/val/test.csv."""
-    raw = pd.read_csv(os.path.join(raw_dir, "RAW_interactions.csv"),
-                      usecols=["user_id", "recipe_id", "rating"])
-    pp_recipes = pd.read_csv(os.path.join(raw_dir, "PP_recipes.csv"), usecols=["id", "i"])
-    pp_users = pd.read_csv(os.path.join(raw_dir, "PP_users.csv"), usecols=["u"])
+    RAW_interactions to dense ids via the user map built from the Kaggle
+    interaction splits and the recipe map from PP_recipes, filter recipes
+    with >= 10 reviews, write interactions_processed.csv, then a shuffled
+    80/10/10 row split -> train/val/test.csv."""
+    raw = pd.read_csv(os.path.join(raw_dir, "RAW_interactions.csv"))
+    pp_recipes = pd.read_csv(os.path.join(raw_dir, "PP_recipes.csv"))
 
-    df = raw.merge(pp_recipes, left_on="recipe_id", right_on="id", how="inner")
-    counts = df["recipe_id"].value_counts()
-    df = df[df["recipe_id"].isin(counts[counts >= 10].index)]
+    # user_id -> u map from the Kaggle splits' own columns.
+    frames = [
+        pd.read_csv(os.path.join(raw_dir, f"interactions_{s}.csv"))
+        for s in ("train", "test", "validation")
+    ]
+    user_map = pd.concat(frames)[["user_id", "u"]].drop_duplicates()
+    user_map = user_map.drop_duplicates(subset=["user_id"])
+    recipe_map = pp_recipes[["id", "i"]].rename(columns={"id": "recipe_id"})
 
-    rng = np.random.RandomState(seed)
-    n = len(df)
-    order = rng.permutation(n)
-    n_train = int(0.8 * n)
-    n_val = int(0.1 * n)
-    parts = {
-        "train": df.iloc[order[:n_train]],
-        "val": df.iloc[order[n_train : n_train + n_val]],
-        "test": df.iloc[order[n_train + n_val :]],
-    }
+    df = raw.merge(user_map, on="user_id", how="inner")
+    df = df.merge(recipe_map, on="recipe_id", how="inner")
+
+    counts = df.groupby("recipe_id").size()
+    df = df[df["recipe_id"].isin(counts[counts >= 10].index)].copy()
+    keep = [c for c in ("user_id", "recipe_id", "date", "rating", "u", "i")
+            if c in df.columns]
+    df = df[keep]
+
     os.makedirs(processed_dir, exist_ok=True)
+    df.to_csv(os.path.join(processed_dir, "interactions_processed.csv"), index=False)
+
+    shuffled = df.sample(frac=1, random_state=seed).reset_index(drop=True)
+    n = len(shuffled)
+    parts = {
+        "train": shuffled.iloc[: int(n * 0.8)],
+        "val": shuffled.iloc[int(n * 0.8) : int(n * 0.9)],
+        "test": shuffled.iloc[int(n * 0.9) :],
+    }
     for name, part in parts.items():
         part.to_csv(os.path.join(processed_dir, f"{name}.csv"), index=False)
     return parts

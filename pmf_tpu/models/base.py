@@ -185,6 +185,25 @@ class FactorModel:
         return jnp.sum(theta_rows * beta_rows, axis=-1)
 
     # -- shared plumbing ---------------------------------------------------
+    def _initial_state(self, default_state: dict, resume_from: Optional[str]) -> dict:
+        """Use a checkpointed state instead of the fresh init when resuming."""
+        if resume_from is None:
+            return default_state
+        import jax.numpy as jnp
+
+        from pmf_tpu.utils.checkpoint import load_state
+
+        state, _ = load_state(resume_from)
+        restored = {k: jnp.asarray(v) for k, v in state.items()}
+        for k, v in default_state.items():
+            if k not in restored or restored[k].shape != v.shape:
+                raise ValueError(
+                    f"checkpoint at {resume_from} does not match model state "
+                    f"(key {k}: {restored.get(k) is not None and restored[k].shape} "
+                    f"vs {v.shape})"
+                )
+        return restored
+
     @property
     def _dtype(self):
         return np.dtype(getattr(self.config, "dtype", "float32"))

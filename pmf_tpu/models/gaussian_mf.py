@@ -398,14 +398,16 @@ class GaussianMF(FactorModel):
         super().__init__(config)
         self.global_mean = 0.0
 
-    def fit(self, train_df, val_df=None, global_mean: float = 0.0):
+    def fit(self, train_df, val_df=None, global_mean: float = 0.0,
+            resume_from=None, checkpoint_dir=None, checkpoint_every=10):
         cfg = self.config
         self.global_mean = float(global_mean)
         data = self._build_train(train_df)
         self.n_users, self.n_items = data.n_users, data.n_items
         if cfg.verbose:
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
-        state = init_state(self.n_users, self.n_items, cfg)
+        state = self._initial_state(init_state(self.n_users, self.n_items, cfg),
+                                    resume_from)
 
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
         if cfg.covariance != "full":
@@ -455,6 +457,8 @@ class GaussianMF(FactorModel):
             gaussian_stop_rule,
             verbose=cfg.verbose,
             name="GaussianMF",
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
         )
         self.state = loop.run(state, data, val)
         self.fit_history = loop.history

@@ -250,13 +250,15 @@ def eval_metrics(state: dict, ev: EvalSet, extended: bool):
 class PoissonMF(FactorModel):
     """Reference-compatible facade for plain and extended Poisson MF."""
 
-    def fit(self, train_df, val_df=None):
+    def fit(self, train_df, val_df=None, resume_from=None,
+            checkpoint_dir=None, checkpoint_every=10):
         cfg = self.config
         data = self._build_train(train_df)
         self.n_users, self.n_items = data.n_users, data.n_items
         if cfg.verbose:
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items}", flush=True)
-        state = init_state(self.n_users, self.n_items, cfg)
+        state = self._initial_state(init_state(self.n_users, self.n_items, cfg),
+                                    resume_from)
 
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
         if engine.startswith("blocked") and not cfg.extended:
@@ -293,6 +295,8 @@ class PoissonMF(FactorModel):
             poisson_stop_rule,
             verbose=cfg.verbose,
             name="PoissonMF" + ("-ext" if cfg.extended else ""),
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
         )
         self.state = loop.run(state, data, val)
         self.fit_history = loop.history

@@ -27,6 +27,26 @@ def test_model_roundtrip(tmp_path, small_splits):
     )
 
 
+def test_fit_resume_from_checkpoint(tmp_path, small_splits):
+    """Checkpoint mid-training, resume, and match an uninterrupted run."""
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1), (vu, vi, vx + 1)
+    base = dict(n_factors=5, tol=None, verbose=False, dtype="float64", engine="flat")
+
+    full = HPF(HPFConfig(max_iter=6, **base)).fit(train, val)
+
+    ck = str(tmp_path / "resume_ck")
+    HPF(HPFConfig(max_iter=3, **base)).fit(train, val,
+                                           checkpoint_dir=ck, checkpoint_every=3)
+    resumed = HPF(HPFConfig(max_iter=3, **base)).fit(train, val, resume_from=ck)
+
+    for k in full.state:
+        np.testing.assert_allclose(
+            np.asarray(full.state[k]), np.asarray(resumed.state[k]),
+            rtol=1e-10, err_msg=k,
+        )
+
+
 def test_fitloop_periodic_checkpoint(tmp_path, small_splits):
     (tu, ti, tx), _, _ = small_splits
     cfg = HPFConfig(n_factors=4, max_iter=4, tol=None, verbose=False)

@@ -104,6 +104,41 @@ def test_load_and_center(tmp_path, monkeypatch):
     assert (val.groupby("u").size() == 2).all()
 
 
+def test_legacy_preprocessing(tmp_path):
+    """The superseded 80/10/10 path: id mapping via Kaggle maps, recipe
+    filter, shuffled row split."""
+    import numpy as np
+
+    from pmf_tpu.data.pipeline import legacy_generate_processed_data
+
+    rng = np.random.default_rng(3)
+    raw_dir = tmp_path / "data" / "raw"
+    os.makedirs(raw_dir, exist_ok=True)
+    n = 4000
+    user_ids = rng.integers(1000, 1080, n)
+    recipe_ids = rng.integers(50000, 50060, n)
+    pd.DataFrame({
+        "user_id": user_ids, "recipe_id": recipe_ids,
+        "date": "2020-01-01", "rating": rng.integers(0, 6, n),
+    }).to_csv(raw_dir / "RAW_interactions.csv", index=False)
+    uniq_r = np.unique(recipe_ids)
+    pd.DataFrame({"id": uniq_r, "i": np.arange(len(uniq_r))}).to_csv(
+        raw_dir / "PP_recipes.csv", index=False)
+    uniq_u = np.unique(user_ids)
+    for s in ("train", "test", "validation"):
+        pd.DataFrame({"user_id": uniq_u, "u": np.arange(len(uniq_u)),
+                      "recipe_id": uniq_r[: len(uniq_u)] if len(uniq_u) <= len(uniq_r)
+                      else uniq_r[0], "rating": 5}).to_csv(
+            raw_dir / f"interactions_{s}.csv", index=False)
+
+    processed = tmp_path / "data" / "legacy"
+    parts = legacy_generate_processed_data(str(raw_dir), str(processed))
+    total = sum(len(p) for p in parts.values())
+    assert os.path.exists(processed / "interactions_processed.csv")
+    assert abs(len(parts["train"]) - 0.8 * total) <= 1
+    assert set(parts["train"].columns) >= {"user_id", "recipe_id", "rating", "u", "i"}
+
+
 def test_recipe_id_map_canonical_schema(tmp_path):
     raw_dir = _fake_raw(tmp_path)
     processed_dir = str(tmp_path / "data" / "processed")
