@@ -151,7 +151,7 @@ def sweep(
     }
 
 
-@partial(jax.jit, static_argnames=("precision", "interpret"))
+@partial(jax.jit, static_argnames=("precision", "interpret", "mesh"))
 def sweep_blocked(
     state: dict,
     blocked,
@@ -165,6 +165,7 @@ def sweep_blocked(
     d_prime: float,
     precision: str = "high",
     interpret: bool = False,
+    mesh=None,
 ) -> dict:
     """Same iteration as :func:`sweep`, with the two edge passes computed
     by the Pallas blocked kernel (`pmf_tpu.ops.pallas.cavi_edge`)."""
@@ -182,7 +183,8 @@ def sweep_blocked(
 
     # -- theta block --
     s_alloc, s_other = poisson_edge_stats(
-        E_theta, E_beta, blocked.by_user, precision=precision, interpret=interpret
+        E_theta, E_beta, blocked.by_user, precision=precision, interpret=interpret,
+        mesh=mesh,
     )
     has = (user_counts > 0)[:, None]
     a_theta = jnp.where(has, a + s_alloc, jnp.asarray(a, dtype))
@@ -194,7 +196,8 @@ def sweep_blocked(
 
     # -- beta block --
     s_alloc_i, s_other_i = poisson_edge_stats(
-        E_beta, E_theta, blocked.by_item, precision=precision, interpret=interpret
+        E_beta, E_theta, blocked.by_item, precision=precision, interpret=interpret,
+        mesh=mesh,
     )
     has_i = (item_counts > 0)[:, None]
     a_beta = jnp.where(has_i, c + s_alloc_i, jnp.asarray(c, dtype))

@@ -168,7 +168,9 @@ def _kernel(
     out_ref[:] += _recombine(seg, 2 * k, 1 if highest else parts)
 
 
-@functools.partial(jax.jit, static_argnames=("rate_floor", "interpret", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("rate_floor", "interpret", "precision", "mesh")
+)
 def poisson_edge_stats(
     e_self: jax.Array,
     e_other: jax.Array,
@@ -176,6 +178,7 @@ def poisson_edge_stats(
     rate_floor: float = 1e-10,
     interpret: bool = False,
     precision: str = "high",
+    mesh=None,
 ):
     """Compute (S_alloc, S_other) segment sums over self rows.
 
@@ -185,8 +188,14 @@ def poisson_edge_stats(
     of every Poisson-family coordinate block.
 
     precision: "high" (bf16x3 lane-packed, f32-exact, default),
-    "fast" (single bf16 pass, ~5e-3 stat noise), "highest" (Mosaic
-    HIGHEST f32 dots; cross-check only, ~3x slower).
+    "mid" (bf16x2, ~2e-5), "fast" (single bf16 pass, ~5e-3 stat noise),
+    "highest" (Mosaic HIGHEST f32 dots; cross-check only, ~3x slower).
+
+    mesh: optional 1-D `jax.sharding.Mesh` — segments shard across the
+    "data" axis (each device scans its local segments through the same
+    compiled kernel; dummy zero-contribution segments pad to a multiple
+    of the device count) and the per-device accumulators combine with one
+    psum over ICI.
     """
     parts = {"fast": 1, "fast_bf16": 1, "mid": 2, "high": 3, "highest": 1}[precision]
     highest = precision == "highest"
@@ -273,7 +282,42 @@ def poisson_edge_stats(
         acc = jax.lax.dynamic_update_slice(acc, region + contrib, (r0, zero))
         return acc, None
 
-    acc, _ = jax.lax.scan(body, acc0, xs)
+    if mesh is None:
+        acc, _ = jax.lax.scan(body, acc0, xs)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        pad_segs = (-n_segments) % n_dev
+        if pad_segs:
+            # Dummy segments: all-padding edges, first block 0, nr = 0 —
+            # their contribution is fully masked.
+            def pad_seg(a, fill):
+                shape = (pad_segs,) + a.shape[1:]
+                return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)])
+
+            pad_loc = (p.bs_self << 16) | p.bs_other
+            xs = (
+                pad_seg(xs[0], 0),
+                pad_seg(xs[1], 0),
+                pad_seg(xs[2], pad_loc),
+                pad_seg(xs[3], 0),
+                pad_seg(xs[4], 0),
+                pad_seg(xs[5], 0),
+            )
+
+        def local_segments(*xs_local):
+            acc, _ = jax.lax.scan(body, acc0, xs_local)
+            return jax.lax.psum(acc, "data")
+
+        acc = jax.shard_map(
+            local_segments,
+            mesh=mesh,
+            in_specs=tuple(P("data") for _ in xs),
+            out_specs=P(),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )(*xs)
+
     s_alloc, s_other = acc[: p.n_self, :K], acc[: p.n_self, K:]
     if p.reordered:
         s_alloc = jnp.take(s_alloc, p.self_new_of_old, axis=0)

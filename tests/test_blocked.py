@@ -110,6 +110,34 @@ def test_blocked_reordered_matches_flat(small_ratings):
     np.testing.assert_allclose(np.asarray(got_other), np.asarray(ref_other), rtol=2e-5, atol=1e-5)
 
 
+def test_blocked_sharded_matches_local(small_ratings):
+    """Segments sharded across the 8-device CPU mesh (psum-combined
+    accumulators) must match the single-device result."""
+    import jax
+
+    from pmf_tpu.parallel import make_mesh
+
+    u, i, x = small_ratings
+    x = x + 1.0
+    n_users, n_items = int(u.max()) + 1, int(i.max()) + 1
+    rng = np.random.default_rng(9)
+    K = 8
+    e_theta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_users, K)).astype(np.float32))
+    e_beta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_items, K)).astype(np.float32))
+
+    blocked = build_blocked(u, i, x, block_users=64, block_items=64,
+                            chunk_size=128, seg_chunks=4)
+    p = blocked.by_user
+    assert p.n_chunks // p.seg_chunks >= 3, "test needs several segments"
+    mesh = make_mesh(8)
+
+    local_a, local_o = poisson_edge_stats(e_theta, e_beta, p, interpret=True)
+    shard_a, shard_o = poisson_edge_stats(e_theta, e_beta, p, interpret=True,
+                                          mesh=mesh)
+    np.testing.assert_allclose(np.asarray(shard_a), np.asarray(local_a), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(shard_o), np.asarray(local_o), rtol=1e-6)
+
+
 def test_blocked_handles_empty_blocks():
     """Rows/blocks with no edges must produce zero statistics."""
     u = np.array([0, 0, 700])  # users 1..699 empty -> empty self blocks
