@@ -48,6 +48,10 @@ class HPFMapConfig:
     c_prime: float = 1.0
     d_prime: float = 1.0
     lr: float = 0.001
+    # Reference default is 1024 (`hpf_pytorch.py:19`).  On TPU, dense Adam
+    # touches EVERY parameter each step, so small batches are dominated by
+    # optimizer traffic (measured ~2x total time going 4096 -> 65536 at
+    # 25M ratings); use >= 2^16 at scale.
     batch_size: int = 1024
     epochs: int = 20
     device: str = "tpu"  # kept for best_hyperparams.txt compatibility; unused

@@ -44,6 +44,19 @@ def test_gaussian_engines_agree(small_splits):
         )
 
 
+def test_fast_engine_converges_like_flat(small_splits):
+    """blocked_fast's ~5e-3 statistic noise must not change where CAVI
+    converges in any way that matters: final val RMSE within 5e-3."""
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1), (vu, vi, vx + 1)
+    base = dict(n_factors=6, max_iter=10, tol=None, verbose=False, dtype="float32")
+    flat = _fit(HPF, HPFConfig(engine="flat", **base), train, val)
+    fast = _fit(HPF, HPFConfig(engine="blocked_fast", **base), train, val)
+    r_flat = flat.fit_history[-1]["val_rmse"]
+    r_fast = fast.fit_history[-1]["val_rmse"]
+    assert abs(r_flat - r_fast) < 5e-3
+
+
 def test_poisson_engines_agree(small_splits):
     (tu, ti, tx), (vu, vi, vx), _ = small_splits
     base = dict(n_factors=6, max_iter=4, tol=None, verbose=False, dtype="float32")
