@@ -34,7 +34,7 @@ import numpy as np
                  "self_old_of_new", "other_old_of_new", "self_new_of_old"],
     meta_fields=["n_chunks", "chunk_size", "bs_self", "bs_other", "n_self", "n_other",
                  "n_self_blocks", "n_other_blocks", "nnz", "seg_chunks",
-                 "seg_first_block", "seg_n_blocks", "reordered"],
+                 "seg_first_block", "seg_n_blocks", "reordered", "group"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockedPass:
@@ -84,6 +84,9 @@ class BlockedPass:
     seg_first_block: tuple
     seg_n_blocks: tuple
     reordered: bool
+    # Chunks per kernel grid step (every self block's chunk count is a
+    # multiple of this).
+    group: int
 
 
 def _build_pass(
@@ -98,6 +101,7 @@ def _build_pass(
     dtype,
     seg_chunks: int = 4096,
     reorder: bool = False,
+    group: int = 4,
 ) -> BlockedPass:
     n_self_blocks = -(-n_self // bs_self)
     n_other_blocks = -(-n_other // bs_other)
@@ -167,20 +171,23 @@ def _build_pass(
     chunk_sb = chunk_sb[chunk_order]
     chunk_ob = chunk_ob[chunk_order]
 
-    # Pair alignment: every self block gets an EVEN chunk count (one extra
-    # all-padding chunk for odd blocks) so kernels may process chunk PAIRS
-    # sharing a self block per grid step.  With even blocks, every segment
-    # cut at a block boundary lands on even parity automatically.
+    # Group alignment: every self block gets a chunk count that is a
+    # multiple of ``group`` (extra all-padding chunks as needed) so kernels
+    # may process chunk GROUPS sharing a self block per grid step.  With
+    # aligned blocks, every segment cut at a block boundary lands on group
+    # parity automatically.
     blocks_present, block_counts = np.unique(chunk_sb, return_counts=True)
-    odd_blocks = blocks_present[block_counts % 2 == 1]
-    if len(odd_blocks):
-        n_extra = len(odd_blocks)
+    shortfall = (-block_counts) % group
+    need = blocks_present[shortfall > 0]
+    if len(need):
+        extra_sb = np.repeat(need, shortfall[shortfall > 0]).astype(np.int32)
+        n_extra = len(extra_sb)
         self_loc = np.concatenate(
             [self_loc, np.full((n_extra, C), bs_self, dtype=np.int32)])
         other_loc = np.concatenate(
             [other_loc, np.full((n_extra, C), bs_other, dtype=np.int32)])
         xc = np.concatenate([xc, np.zeros((n_extra, C), dtype=dtype)])
-        chunk_sb = np.concatenate([chunk_sb, odd_blocks.astype(np.int32)])
+        chunk_sb = np.concatenate([chunk_sb, extra_sb])
         chunk_ob = np.concatenate([chunk_ob, np.zeros(n_extra, dtype=np.int32)])
         chunk_order = np.argsort(chunk_sb, kind="stable")
         self_loc = self_loc[chunk_order]
@@ -251,6 +258,7 @@ def _build_pass(
         other_old_of_new=jnp.asarray(other_old_of_new),
         self_new_of_old=jnp.asarray(self_new_of_old),
         reordered=reorder,
+        group=group,
     )
 
 
@@ -277,6 +285,7 @@ def build_blocked(
     dtype=np.float32,
     seg_chunks: int = 4096,
     reorder: bool = False,
+    group: int = 4,
 ) -> BlockedCOO:
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
@@ -286,7 +295,7 @@ def build_blocked(
     if n_items is None:
         n_items = int(i.max()) + 1
     by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items,
-                          chunk_size, dtype, seg_chunks, reorder)
+                          chunk_size, dtype, seg_chunks, reorder, group)
     by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users,
-                          chunk_size, dtype, seg_chunks, reorder)
+                          chunk_size, dtype, seg_chunks, reorder, group)
     return BlockedCOO(by_user=by_user, by_item=by_item)

@@ -85,13 +85,10 @@ def _recombine(g: jax.Array, k: int, parts: int) -> jax.Array:
 def _kernel(
     sb_ref,  # scalar prefetch: (seg_chunks,) chunk -> self block
     ob_ref,  # scalar prefetch: (seg_chunks,) chunk -> other block
-    loc_ref,  # (2C, 1) int32, packed self<<16 | other, two chunks
-    x_ref,  # (2C, 1) float32
+    loc_ref,  # (G*C, 1) int32, packed self<<16 | other, G chunks
+    x_ref,  # (G*C, 1) float32
     eself_ref,  # (BS, parts*K) bf16  (or (BS, K) f32 for "highest")
-    eother_a_ref,  # (BO, parts*K) bf16 — first chunk's other block
-    eother_b_ref,  # (BO, parts*K) bf16 — second chunk's other block
-    out_ref,  # out (BS, 2K) f32: [S_alloc | S_other]
-    *,
+    *rest,  # G x eother refs (BO, parts*K), then out_ref (BS, 2K)
     bs_self: int,
     bs_other: int,
     chunk_size: int,
@@ -99,44 +96,44 @@ def _kernel(
     k: int,
     parts: int,
     highest: bool,
+    group: int,
 ):
-    """Each grid step processes a PAIR of chunks sharing one self block
-    (the builder pads every self block to an even chunk count), halving
-    the per-step fixed cost."""
+    """Each grid step processes a GROUP of `group` chunks sharing one self
+    block (the builder pads every self block's chunk count to a multiple
+    of `group`), amortizing per-step fixed cost."""
+    eother_refs = rest[:group]
+    out_ref = rest[group]
     in_dtype = eself_ref.dtype
     prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
     C = chunk_size
+    G = group
 
-    packed = loc_ref[:, :]  # (2C, 1)
+    packed = loc_ref[:, :]  # (G*C, 1)
     sloc = jax.lax.shift_right_logical(packed, jnp.int32(16))
     oloc = jax.lax.bitwise_and(packed, jnp.int32(0xFFFF))
     xv = x_ref[:, :]
 
     onehot_s = (
-        sloc == jax.lax.broadcasted_iota(jnp.int32, (2 * C, bs_self), 1)
+        sloc == jax.lax.broadcasted_iota(jnp.int32, (G * C, bs_self), 1)
     ).astype(in_dtype)
-    onehot_oa = (
-        oloc[:C] == jax.lax.broadcasted_iota(jnp.int32, (C, bs_other), 1)
-    ).astype(in_dtype)
-    onehot_ob = (
-        oloc[C:] == jax.lax.broadcasted_iota(jnp.int32, (C, bs_other), 1)
-    ).astype(in_dtype)
+
+    g_other_parts = []
+    for g in range(G):
+        onehot_og = (
+            oloc[g * C : (g + 1) * C]
+            == jax.lax.broadcasted_iota(jnp.int32, (C, bs_other), 1)
+        ).astype(in_dtype)
+        g_other_parts.append(
+            jnp.dot(onehot_og, eother_refs[g][:], preferred_element_type=jnp.float32,
+                    precision=prec)
+        )
 
     g_self = _recombine(
         jnp.dot(onehot_s, eself_ref[:], preferred_element_type=jnp.float32,
                 precision=prec),
         k, parts,
     )
-    g_other = jnp.concatenate(
-        [
-            jnp.dot(onehot_oa, eother_a_ref[:], preferred_element_type=jnp.float32,
-                    precision=prec),
-            jnp.dot(onehot_ob, eother_b_ref[:], preferred_element_type=jnp.float32,
-                    precision=prec),
-        ],
-        axis=0,
-    )
-    g_other = _recombine(g_other, k, parts)
+    g_other = _recombine(jnp.concatenate(g_other_parts, axis=0), k, parts)
 
     rate = jnp.maximum(
         jnp.sum(g_self * g_other, axis=1, keepdims=True),
@@ -146,8 +143,8 @@ def _kernel(
 
     # First visit of this output block: zero the accumulators.
     c = pl.program_id(0)
-    prev_sb = sb_ref[jnp.maximum(2 * c - 2, 0)]
-    is_first = (c == 0) | (sb_ref[2 * c] != prev_sb)
+    prev_sb = sb_ref[jnp.maximum(G * c - G, 0)]
+    is_first = (c == 0) | (sb_ref[G * c] != prev_sb)
 
     @pl.when(is_first)
     def _():
@@ -155,7 +152,7 @@ def _kernel(
 
     # Both statistics in one segment-sum matmul; bf16x<parts> payload
     # decomposition rides the same free lanes (2*parts*K <= 128 for K=20).
-    payload = jnp.concatenate([alloc, g_other], axis=1)  # (2C, 2K) f32
+    payload = jnp.concatenate([alloc, g_other], axis=1)  # (G*C, 2K) f32
     if highest:
         payload_in = payload
     else:
@@ -226,18 +223,24 @@ def poisson_edge_stats(
     out_rows = max_blocks * p.bs_self
     KT = e_self_pad.shape[1]
 
+    G = p.group
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(p.seg_chunks // 2,),
+        grid=(p.seg_chunks // G,),
         in_specs=[
-            pl.BlockSpec((2 * p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
-            pl.BlockSpec((2 * p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
-            pl.BlockSpec((p.bs_self, KT), lambda c, sb, ob: (sb[2 * c], 0)),
-            pl.BlockSpec((p.bs_other, KT), lambda c, sb, ob: (ob[2 * c], 0)),
-            pl.BlockSpec((p.bs_other, KT), lambda c, sb, ob: (ob[2 * c + 1], 0)),
+            pl.BlockSpec((G * p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((G * p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((p.bs_self, KT), lambda c, sb, ob, G=G: (sb[G * c], 0)),
+            *[
+                pl.BlockSpec(
+                    (p.bs_other, KT),
+                    lambda c, sb, ob, G=G, g=g: (ob[G * c + g], 0),
+                )
+                for g in range(G)
+            ],
         ],
         out_specs=pl.BlockSpec(
-            (p.bs_self, 2 * K), lambda c, sb, ob: (sb[2 * c] - sb[0], 0)
+            (p.bs_self, 2 * K), lambda c, sb, ob, G=G: (sb[G * c] - sb[0], 0)
         ),
     )
 
@@ -250,6 +253,7 @@ def poisson_edge_stats(
         k=K,
         parts=parts,
         highest=highest,
+        group=G,
     )
     call = pl.pallas_call(
         kernel,
@@ -275,7 +279,7 @@ def poisson_edge_stats(
 
     def body(acc, seg):
         sb, ob, locv, xv, r0, nr = seg
-        contrib = call(sb, ob, locv, xv, e_self_pad, e_other_pad, e_other_pad)
+        contrib = call(sb, ob, locv, xv, e_self_pad, *([e_other_pad] * G))
         contrib = jnp.where(row_ids < nr, contrib, 0.0)
         zero = jnp.zeros((), r0.dtype)
         region = jax.lax.dynamic_slice(acc, (r0, zero), (out_rows, 2 * K))
