@@ -196,7 +196,7 @@ def sweep(state: dict, data: RatingsCOO, a0: float, b0: float, extended: bool) -
     }
 
 
-@partial(jax.jit, static_argnames=("precision", "interpret"))
+@partial(jax.jit, static_argnames=("precision", "interpret", "mesh"))
 def sweep_blocked(
     state: dict,
     blocked,
@@ -206,6 +206,7 @@ def sweep_blocked(
     b0: float,
     precision: str = "high",
     interpret: bool = False,
+    mesh=None,
 ) -> dict:
     """Plain-Poisson iteration with Pallas blocked edge passes."""
     from pmf_tpu.ops.pallas.cavi_edge import poisson_edge_stats
@@ -215,7 +216,8 @@ def sweep_blocked(
     dtype = E_theta.dtype
 
     s_alloc, s_other = poisson_edge_stats(
-        E_theta, E_beta, blocked.by_user, precision=precision, interpret=interpret
+        E_theta, E_beta, blocked.by_user, precision=precision, interpret=interpret,
+        mesh=mesh,
     )
     has = (user_counts > 0)[:, None]
     a_theta = jnp.where(has, a0 + s_alloc, jnp.asarray(a0, dtype))
@@ -223,7 +225,8 @@ def sweep_blocked(
     E_theta = a_theta / b_theta
 
     s_alloc_i, s_other_i = poisson_edge_stats(
-        E_beta, E_theta, blocked.by_item, precision=precision, interpret=interpret
+        E_beta, E_theta, blocked.by_item, precision=precision, interpret=interpret,
+        mesh=mesh,
     )
     has_i = (item_counts > 0)[:, None]
     a_beta = jnp.where(has_i, a0 + s_alloc_i, jnp.asarray(a0, dtype))

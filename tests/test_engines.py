@@ -44,6 +44,23 @@ def test_gaussian_engines_agree(small_splits):
         )
 
 
+def test_gaussian_nobias_engines_agree(small_splits):
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    mean = tx.mean()
+    train, val = (tu, ti, tx - mean), (vu, vi, vx - mean)
+    base = dict(n_factors=5, sigma2=0.5, eta_theta2=0.4, eta_beta2=0.4,
+                max_iter=3, tol=None, verbose=False, dtype="float32", use_bias=False)
+    flat = _fit(GaussianMF, GaussianMFConfig(engine="flat", **base), train, val)
+    blocked = _fit(GaussianMF, GaussianMFConfig(engine="blocked_high", **base), train, val)
+    for k in ("m_theta", "m_beta"):
+        np.testing.assert_allclose(
+            np.asarray(flat.state[k]), np.asarray(blocked.state[k]),
+            rtol=5e-3, atol=2e-5, err_msg=k,
+        )
+
+
 def test_fast_engine_converges_like_flat(small_splits):
     """blocked_fast's ~5e-3 statistic noise must not change where CAVI
     converges in any way that matters: final val RMSE within 5e-3."""
