@@ -55,6 +55,33 @@ def reduce_dimensions(x: np.ndarray, method: str, dim: int, seed: int = 42):
     raise ValueError(method)
 
 
+def tag_colors(recipe_ids: np.ndarray, tags: list[str], data_dir: str = "data"):
+    """Color index per item: 1 + index of the first matching tag from the
+    RAW_recipes.csv tag lists, 0 when none match (the reference's --tags
+    coloring, `embedding_viz.py:13-23,120-137`).  None when the raw file
+    is unavailable."""
+    import ast
+
+    path = os.path.join(data_dir, "raw", "RAW_recipes.csv")
+    if not os.path.exists(path) or not tags:
+        return None
+    raw = pd.read_csv(path, usecols=["id", "tags"])
+    tag_map = {}
+    for rid, tag_str in zip(raw["id"], raw["tags"]):
+        try:
+            tag_map[rid] = set(ast.literal_eval(tag_str))
+        except (ValueError, SyntaxError):
+            tag_map[rid] = set()
+    colors = np.zeros(len(recipe_ids), dtype=int)
+    for row, rid in enumerate(recipe_ids):
+        item_tags = tag_map.get(rid, ())
+        for t_idx, tag in enumerate(tags):
+            if tag in item_tags:
+                colors[row] = t_idx + 1
+                break
+    return colors
+
+
 def plot_grid(reduced: np.ndarray, path: str, color=None, title: str = ""):
     import matplotlib
 
@@ -88,6 +115,8 @@ def main(argv=None):
     parser.add_argument("--methods", nargs="+", default=["pca", "tsne", "umap", "sample"])
     parser.add_argument("--dim", type=int, default=3)
     parser.add_argument("--data_dir", default="data")
+    parser.add_argument("--tags", nargs="*", default=None,
+                        help="color items by these recipe tags (needs RAW_recipes.csv)")
     args = parser.parse_args(argv)
 
     emb_path = os.path.join(args.data_dir, "embeddings", args.model, "item_embeddings.csv")
@@ -96,12 +125,17 @@ def main(argv=None):
     emb = pd.read_csv(emb_path)
     x = emb.drop(columns=["recipe_id"], errors="ignore").to_numpy()
 
+    colors = None
+    if args.tags and "recipe_id" in emb.columns:
+        colors = tag_colors(emb["recipe_id"].to_numpy(), args.tags, args.data_dir)
+
     out_dir = os.path.join(OUT_ROOT, args.model)
     for method in args.methods:
         reduced, idx = reduce_dimensions(x, method, args.dim)
         if reduced is None:
             continue
-        plot_grid(reduced, os.path.join(out_dir, f"{method}.png"),
+        c = colors[idx] if colors is not None else None
+        plot_grid(reduced, os.path.join(out_dir, f"{method}.png"), color=c,
                   title=f"{args.model}: {method} ({reduced.shape[1]}d)")
         print(f"wrote {out_dir}/{method}.png ({len(idx)} rows)")
 

@@ -87,10 +87,21 @@ def test_train_full_and_analysis(tmp_path, monkeypatch):
     summary = analyze_top_dimensions("gaussian_mf", n_dim=2, n_items=5)
     assert len(summary) == 2
 
-    # Embedding viz (pca + sample; tsne/umap too slow/missing for tests).
+    # Embedding viz (pca + sample; tsne/umap too slow/missing for tests),
+    # with tag coloring through a synthetic RAW_recipes.csv.
+    emb = pd.read_csv("data/embeddings/gaussian_mf/item_embeddings.csv")
+    rids = emb["recipe_id"].to_numpy() if "recipe_id" in emb.columns else np.arange(len(emb))
+    os.makedirs("data/raw", exist_ok=True)
+    pd.DataFrame({
+        "id": rids,
+        "name": [f"recipe {r}" for r in rids],
+        "tags": ["['vegan']" if k % 2 else "['dessert']" for k in range(len(rids))],
+    }).to_csv("data/raw/RAW_recipes.csv", index=False)
+
     from pmf_tpu.analysis.embedding_viz import main as viz_main
 
-    viz_main(["--model", "gaussian_mf", "--methods", "pca", "sample", "--dim", "2"])
+    viz_main(["--model", "gaussian_mf", "--methods", "pca", "sample", "--dim", "2",
+              "--tags", "vegan", "dessert"])
     assert os.path.exists("reports/figures/dimension_reduction/gaussian_mf/pca.png")
 
 
