@@ -101,7 +101,7 @@ def _build_pass(
     dtype,
     seg_chunks: int = 4096,
     reorder: bool = False,
-    group: int = 4,
+    group: int = 16,
 ) -> BlockedPass:
     n_self_blocks = -(-n_self // bs_self)
     n_other_blocks = -(-n_other // bs_other)
@@ -199,7 +199,9 @@ def _build_pass(
 
     # Segmentation: uniform segments of seg_chunks chunks, preferring cuts
     # at self-block boundaries (straddling allowed for oversized blocks).
+    # Segments must hold whole chunk GROUPS.
     seg_max = min(seg_chunks, total_chunks)
+    seg_max = max(group, (seg_max // group) * group)
     ranges = []
     start = 0
     while start < total_chunks:
@@ -279,13 +281,13 @@ def build_blocked(
     x: np.ndarray,
     n_users: int | None = None,
     n_items: int | None = None,
-    block_users: int = 256,
-    block_items: int = 256,
-    chunk_size: int = 512,
+    block_users: int = 512,
+    block_items: int = 512,
+    chunk_size: int = 128,
     dtype=np.float32,
     seg_chunks: int = 4096,
     reorder: bool = False,
-    group: int = 4,
+    group: int = 16,
 ) -> BlockedCOO:
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)

@@ -34,7 +34,7 @@ def test_blocked_stats_match_flat(small_ratings, chunk_size, block):
 
     flat = build_ratings(u, i, x, dtype=np.float32)
     blocked = build_blocked(
-        u, i, x, block_users=block, block_items=block, chunk_size=chunk_size
+        u, i, x, block_users=block, block_items=block, chunk_size=chunk_size, group=4
     )
 
     # User pass.
@@ -71,7 +71,7 @@ def test_blocked_segmented_matches_flat(small_ratings):
 
     flat = build_ratings(u, i, x, dtype=np.float32)
     blocked = build_blocked(u, i, x, block_users=64, block_items=64,
-                            chunk_size=128, seg_chunks=4)
+                            chunk_size=128, seg_chunks=4, group=2)
     p = blocked.by_user
     assert p.n_chunks // p.seg_chunks > 1, "test needs multiple segments"
 
@@ -95,9 +95,10 @@ def test_blocked_reordered_matches_flat(small_ratings):
     e_beta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_items, K)).astype(np.float32))
 
     flat = build_ratings(u, i, x, dtype=np.float32)
-    plain = build_blocked(u, i, x, block_users=32, block_items=32, chunk_size=128)
+    plain = build_blocked(u, i, x, block_users=32, block_items=32, chunk_size=128,
+                          group=2)
     popular = build_blocked(u, i, x, block_users=32, block_items=32, chunk_size=128,
-                            reorder=True)
+                            reorder=True, group=2)
     # Skewed synthetic data: reordering should not increase chunk count.
     assert popular.by_user.n_chunks <= plain.by_user.n_chunks
 
@@ -126,7 +127,7 @@ def test_blocked_sharded_matches_local(small_ratings):
     e_beta = jnp.asarray(rng.gamma(1.0, 1.0, size=(n_items, K)).astype(np.float32))
 
     blocked = build_blocked(u, i, x, block_users=64, block_items=64,
-                            chunk_size=128, seg_chunks=4)
+                            chunk_size=128, seg_chunks=4, group=2)
     p = blocked.by_user
     assert p.n_chunks // p.seg_chunks >= 3, "test needs several segments"
     mesh = make_mesh(8)
