@@ -419,10 +419,11 @@ class GaussianMF(FactorModel):
 
             u, i, x = as_triples(train_df)
             # The Gaussian kernels process one chunk per grid step, so
-            # prefer bigger chunks than the group-kernel default.
+            # prefer bigger chunks than the group-kernel default (and no
+            # group padding, which would buy nothing here).
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
                                     dtype=self._dtype, reorder=True,
-                                    chunk_size=512, group=2)
+                                    chunk_size=512, group=1)
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"
