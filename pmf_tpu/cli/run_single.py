@@ -59,8 +59,10 @@ DEFAULTS = {
 
 def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=True):
     """Train one model with its reference preprocessing; return metrics."""
-    config = config or DEFAULTS[model_name]
-    config.verbose = verbose
+    import dataclasses as _dc
+
+    # Never mutate the shared DEFAULTS instances (ADVICE r1).
+    config = _dc.replace(config or DEFAULTS[model_name], verbose=verbose)
     results = {"model": model_name}
 
     if model_name.startswith("gaussian"):

@@ -16,9 +16,17 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "ingest.cpp")
 _SO = os.path.join(_NATIVE_DIR, "libpmf_ingest.so")
+_HASH = _SO + ".srchash"
 
 _lib = None
 _lock = threading.Lock()
+
+
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _build() -> bool:
@@ -28,9 +36,24 @@ def _build() -> bool:
              "-o", _SO, _SRC, "-lpthread"],
             check=True, capture_output=True,
         )
+        with open(_HASH, "w") as f:
+            f.write(_src_hash())
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return False
+
+
+def _stale() -> bool:
+    """The cached .so is usable only if a sidecar hash of the source it was
+    built from matches (mtimes are not preserved by git checkouts, and a
+    -march=native binary from another machine could SIGILL)."""
+    if not os.path.exists(_SO) or not os.path.exists(_HASH):
+        return True
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 def get_lib():
@@ -39,7 +62,7 @@ def get_lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if _stale():
             if not os.path.exists(_SRC) or not _build():
                 return None
         lib = ctypes.CDLL(_SO)

@@ -127,9 +127,10 @@ def sweep(
     )
     E_theta = a_theta / b_theta
 
-    # -- xi block: rate-only update b' + sum_k E[theta_uk] --
+    # -- xi block: rate-only update b' + sum_k E[theta_uk].  The refreshed
+    # E[xi] is not read again this sweep (the next theta block recomputes it
+    # from b_xi), so no dead E_xi store here.
     b_xi = b_prime + jnp.sum(E_theta, axis=1)
-    E_xi = a_xi / b_xi
 
     # -- beta block --
     a_beta, b_beta = _hpf_factor_block(

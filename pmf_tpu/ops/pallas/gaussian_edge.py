@@ -145,7 +145,8 @@ def _bias_kernel(
     out_ref[:] += _recombine(seg, 1, 1 if highest else parts)
 
 
-def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_width):
+def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_width,
+                   interpret: bool = False):
     """Shared scan-over-segments driver (see cavi_edge for the rationale)."""
     n_segments = p.n_chunks // p.seg_chunks
     max_blocks = max(p.seg_n_blocks)
@@ -169,7 +170,7 @@ def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_wid
         kernel,
         out_shape=jax.ShapeDtypeStruct((out_rows, K_out), jnp.float32),
         grid_spec=grid_spec,
-        interpret=_run_segmented.interpret,
+        interpret=interpret,
     )
 
     C = p.chunk_size
@@ -196,9 +197,6 @@ def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_wid
 
     acc, _ = jax.lax.scan(body, acc0, xs)
     return acc[: p.n_self]
-
-
-_run_segmented.interpret = False
 
 
 @functools.partial(jax.jit, static_argnames=("use_bias", "precision", "interpret"))
@@ -230,9 +228,8 @@ def gaussian_factor_stats(
         _factor_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
         chunk_size=p.chunk_size, parts=parts, highest=highest, k=K, use_bias=use_bias,
     )
-    _run_segmented.interpret = interpret
-    out = _run_segmented(kernel, p, K + K * K, (aug, bself_tab), K + K * K)
-    _run_segmented.interpret = False
+    out = _run_segmented(kernel, p, K + K * K, (aug, bself_tab), K + K * K,
+                         interpret=interpret)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, :K], out[:, K:].reshape(-1, K, K)
@@ -264,9 +261,7 @@ def gaussian_bias_stats(
         _bias_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
         chunk_size=p.chunk_size, parts=parts, highest=highest, k=K,
     )
-    _run_segmented.interpret = interpret
-    out = _run_segmented(kernel, p, 1, (aug, mself_tab), 1)
-    _run_segmented.interpret = False
+    out = _run_segmented(kernel, p, 1, (aug, mself_tab), 1, interpret=interpret)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, 0]

@@ -27,13 +27,19 @@ def save_state(path: str, state: dict, meta: dict | None = None) -> None:
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     host_state = _to_host(state)
+    ckpt_path = os.path.join(path, "state.orbax")
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        ckpt_path = os.path.join(path, "state.orbax")
         ckptr.save(ckpt_path, host_state, force=True)
     except Exception:
+        # A partially written state.orbax would shadow the npz fallback at
+        # load time (load_state prefers orbax) — remove it first (ADVICE r1).
+        if os.path.isdir(ckpt_path):
+            import shutil
+
+            shutil.rmtree(ckpt_path, ignore_errors=True)
         np.savez(os.path.join(path, "state.npz"), **host_state)
     if meta is not None:
         with open(os.path.join(path, "meta.json"), "w") as f:
