@@ -159,10 +159,55 @@ def eval_metrics(params: dict, ev: EvalSet):
     return r, mm
 
 
-class HPFMap(FactorModel):
-    """Reference-compatible facade for the MAP/SGD HPF path."""
+def _pack_ckpt(params, opt_state, key, epoch) -> dict:
+    """Flatten (params, Adam state, RNG key, epoch) into a flat array dict
+    for `pmf_tpu.utils.checkpoint.save_state`.  Leaves are enumerated in
+    tree order; the tree structure is reproducible from a fresh
+    ``optimizer.init(params)`` template at load time."""
+    leaves = jax.tree_util.tree_leaves((params, opt_state))
+    out = {f"leaf_{n}": leaf for n, leaf in enumerate(leaves)}
+    out["rng_key_data"] = jax.random.key_data(key)
+    out["epoch"] = jnp.asarray(epoch, jnp.int32)
+    return out
 
-    def fit(self, train_df, val_df=None):
+
+def _unpack_ckpt(flat: dict, params_template, optimizer):
+    """Inverse of :func:`_pack_ckpt` given a params template of matching
+    shapes (the optimizer state tree is rebuilt from ``optimizer.init``)."""
+    template = (params_template, optimizer.init(params_template))
+    treedef = jax.tree_util.tree_structure(template)
+    n_leaves = treedef.num_leaves
+    t_leaves = jax.tree_util.tree_leaves(template)
+    leaves = []
+    for n in range(n_leaves):
+        if f"leaf_{n}" not in flat:
+            raise ValueError(
+                f"checkpoint is missing leaf_{n} (have {n_leaves} expected "
+                "leaves) — saved by an incompatible model/optimizer?"
+            )
+        leaf = jnp.asarray(flat[f"leaf_{n}"])
+        if leaf.shape != t_leaves[n].shape:
+            raise ValueError(
+                f"checkpoint leaf_{n} shape {leaf.shape} does not match the "
+                f"model/optimizer state ({t_leaves[n].shape})"
+            )
+        leaves.append(leaf.astype(t_leaves[n].dtype))
+    params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    key = jax.random.wrap_key_data(jnp.asarray(flat["rng_key_data"]))
+    epoch = int(flat["epoch"])
+    return params, opt_state, key, epoch
+
+
+class HPFMap(FactorModel):
+    """Reference-compatible facade for the MAP/SGD HPF path.
+
+    Unlike the reference, which restarts MAP training from scratch every
+    run (`/root/reference/src/experiments/train_hpf_pytorch_full.py:96-108`),
+    ``fit`` supports exact mid-training checkpoint/resume including the
+    Adam moments and the epoch RNG key (SURVEY §5.4)."""
+
+    def fit(self, train_df, val_df=None, resume_from=None,
+            checkpoint_dir=None, checkpoint_every=5):
         cfg = self.config
         u, i, x = as_triples(train_df)
         self.n_users = int(u.max()) + 1
@@ -200,12 +245,21 @@ class HPFMap(FactorModel):
         params = init_params(self.n_users, self.n_items, cfg)
         optimizer = optax.adam(cfg.lr)
         opt_state = optimizer.init(params)
+        key = jax.random.key(cfg.random_state)
+        start_epoch = 1
+        if resume_from is not None:
+            from pmf_tpu.utils.checkpoint import load_state
+
+            flat, _ = load_state(resume_from)
+            params, opt_state, key, done_epoch = _unpack_ckpt(flat, params, optimizer)
+            start_epoch = done_epoch + 1
+            if cfg.verbose:
+                print(f"Resumed from {resume_from} after epoch {done_epoch}", flush=True)
 
         val = self._build_eval(val_df) if val_df is not None else None
-        key = jax.random.key(cfg.random_state)
         self.fit_history = []
         self.best_val_rmse = float("inf")
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_epoch(
                 params, opt_state, sub, u_all, i_all, x_all, mask_all,
@@ -225,6 +279,14 @@ class HPFMap(FactorModel):
             elif cfg.verbose:
                 print(f"HPFMap epoch {epoch}/{cfg.epochs} | loss {float(loss):.1f}", flush=True)
             self.fit_history.append(record)
+            if checkpoint_dir and epoch % checkpoint_every == 0:
+                from pmf_tpu.utils.checkpoint import save_state
+
+                save_state(
+                    checkpoint_dir,
+                    _pack_ckpt(params, opt_state, key, epoch),
+                    {"epoch": epoch, "name": "HPFMap"},
+                )
 
         self.state = params
         return self

@@ -47,6 +47,41 @@ def test_fit_resume_from_checkpoint(tmp_path, small_splits):
         )
 
 
+def test_hpf_map_resume_with_optimizer_state(tmp_path, small_splits):
+    """HPF-MAP exact resume: params + Adam moments + epoch RNG key persist,
+    so checkpoint-at-3 + resume-to-6 equals an uninterrupted 6-epoch run
+    bitwise (same shuffles, same optimizer trajectory)."""
+    from pmf_tpu.models.hpf_map import HPFMap, HPFMapConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1), (vu, vi, vx + 1)
+    base = dict(n_factors=4, lr=0.01, batch_size=256, verbose=False,
+                random_state=3, dtype="float64")
+
+    full = HPFMap(HPFMapConfig(epochs=6, **base)).fit(train, val)
+
+    ck = str(tmp_path / "map_ck")
+    HPFMap(HPFMapConfig(epochs=3, **base)).fit(train, val,
+                                               checkpoint_dir=ck,
+                                               checkpoint_every=3)
+    resumed = HPFMap(HPFMapConfig(epochs=6, **base)).fit(train, val,
+                                                         resume_from=ck)
+    # Resume continues at epoch 4.
+    assert [r["epoch"] for r in resumed.fit_history] == [4, 5, 6]
+    for k in full.state:
+        np.testing.assert_allclose(
+            np.asarray(full.state[k]), np.asarray(resumed.state[k]),
+            rtol=1e-12, atol=0, err_msg=k,
+        )
+
+    # Resuming without Adam moments would diverge: check the checkpoint
+    # actually carries more than the params (4 param leaves + count/mu/nu).
+    flat, meta = load_state(ck)
+    assert meta["name"] == "HPFMap"
+    n_leaves = sum(1 for k in flat if k.startswith("leaf_"))
+    assert n_leaves > 4, "optimizer state missing from HPF-MAP checkpoint"
+
+
 def test_fitloop_periodic_checkpoint(tmp_path, small_splits):
     (tu, ti, tx), _, _ = small_splits
     cfg = HPFConfig(n_factors=4, max_iter=4, tol=None, verbose=False)
