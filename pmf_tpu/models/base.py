@@ -216,6 +216,23 @@ class FactorModel:
         u, i, x = as_triples(df)
         return build_eval_set(u, i, x, self.n_users, self.n_items, dtype=self._dtype)
 
+    def _mesh_place(self, data: RatingsCOO, state: dict, val: Optional[EvalSet], mesh):
+        """Multi-chip placement for a full fit: training edges and eval rows
+        shard contiguously over the mesh "data" axis, the (small) factor
+        state replicates.  GSPMD then partitions every jitted sweep/eval and
+        inserts the psum of partial segment statistics over ICI — exact
+        equivalence with single-device execution is tested on the 8-virtual-
+        device CPU mesh (`tests/test_mesh_fit.py`)."""
+        if mesh is None:
+            return data, state, val
+        from pmf_tpu.parallel import replicate, shard_eval_set, shard_ratings
+
+        data = shard_ratings(data, mesh)
+        state = replicate(state, mesh)
+        if val is not None:
+            val = shard_eval_set(val, mesh)
+        return data, state, val
+
     def predict(self, user_ids, item_ids) -> np.ndarray:
         """Out-of-range (unseen) pairs predict 0, matching the reference
         (`/root/reference/src/models/poisson_mf_cavi.py:221-241`)."""

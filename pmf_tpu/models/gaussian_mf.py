@@ -302,7 +302,7 @@ def sweep(
     }
 
 
-@partial(jax.jit, static_argnames=("use_bias", "precision", "interpret"))
+@partial(jax.jit, static_argnames=("use_bias", "precision", "interpret", "mesh"))
 def sweep_blocked(
     state: dict,
     blocked,
@@ -315,6 +315,7 @@ def sweep_blocked(
     use_bias: bool,
     precision: str = "high",
     interpret: bool = False,
+    mesh=None,
 ) -> dict:
     """Same iteration as :func:`sweep`, with all four edge passes computed
     by the Gaussian Pallas kernels (`pmf_tpu.ops.pallas.gaussian_edge`)."""
@@ -335,6 +336,7 @@ def sweep_blocked(
     S_w, S_A = gaussian_factor_stats(
         state["m_beta"], state["V_beta"], state["b_user"], state["b_item"],
         blocked.by_user, use_bias=use_bias, precision=precision, interpret=interpret,
+        mesh=mesh,
     )
     m_theta, V_theta = factor_update(
         state["m_theta"], state["V_theta"], S_w, S_A, user_counts, eta_theta2
@@ -344,6 +346,7 @@ def sweep_blocked(
     S_w_i, S_A_i = gaussian_factor_stats(
         m_theta, V_theta, state["b_item"], state["b_user"],
         blocked.by_item, use_bias=use_bias, precision=precision, interpret=interpret,
+        mesh=mesh,
     )
     m_beta, V_beta = factor_update(
         state["m_beta"], state["V_beta"], S_w_i, S_A_i, item_counts, eta_beta2
@@ -354,13 +357,13 @@ def sweep_blocked(
     if use_bias:
         s_u = gaussian_bias_stats(
             m_theta, m_beta, b_item, blocked.by_user,
-            precision=precision, interpret=interpret,
+            precision=precision, interpret=interpret, mesh=mesh,
         )
         prec_u = 1.0 / jnp.asarray(eta_bias2, dtype) + user_counts / jnp.asarray(sigma2, dtype)
         b_user = jnp.where(user_counts > 0, s_u / (prec_u * jnp.asarray(sigma2, dtype)), b_user)
         s_i = gaussian_bias_stats(
             m_beta, m_theta, b_user, blocked.by_item,
-            precision=precision, interpret=interpret,
+            precision=precision, interpret=interpret, mesh=mesh,
         )
         prec_i = 1.0 / jnp.asarray(eta_bias2, dtype) + item_counts / jnp.asarray(sigma2, dtype)
         b_item = jnp.where(item_counts > 0, s_i / (prec_i * jnp.asarray(sigma2, dtype)), b_item)
@@ -399,7 +402,10 @@ class GaussianMF(FactorModel):
         self.global_mean = 0.0
 
     def fit(self, train_df, val_df=None, global_mean: float = 0.0,
-            resume_from=None, checkpoint_dir=None, checkpoint_every=10):
+            resume_from=None, checkpoint_dir=None, checkpoint_every=10,
+            mesh=None):
+        """``mesh``: optional `jax.sharding.Mesh` for multi-chip training
+        (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`)."""
         cfg = self.config
         self.global_mean = float(global_mean)
         data = self._build_train(train_df)
@@ -433,6 +439,7 @@ class GaussianMF(FactorModel):
                     s, blocked, d.user_counts, d.item_counts,
                     cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
                     cfg.use_bias, precision=precision, interpret=interpret,
+                    mesh=mesh,
                 )
         else:
 
@@ -453,6 +460,7 @@ class GaussianMF(FactorModel):
             return eval_metrics(s, ev, cfg.use_bias)
 
         val = self._build_eval(val_df) if val_df is not None else None
+        data, state, val = self._mesh_place(data, state, val, mesh)
         loop = FitLoop(
             sweep_fn,
             eval_fn,

@@ -233,7 +233,10 @@ class HPF(FactorModel):
     """Reference-compatible facade for HPF-CAVI."""
 
     def fit(self, train_df, val_df=None, resume_from=None,
-            checkpoint_dir=None, checkpoint_every=10):
+            checkpoint_dir=None, checkpoint_every=10, mesh=None):
+        """``mesh``: optional `jax.sharding.Mesh` — the full fit (sweeps,
+        validation eval, early stopping) runs multi-chip with edges and eval
+        rows sharded on the "data" axis (see `FactorModel._mesh_place`)."""
         cfg = self.config
         data = self._build_train(train_df)
         self.n_users, self.n_items = data.n_users, data.n_items
@@ -259,7 +262,7 @@ class HPF(FactorModel):
             def sweep_fn(s, d):
                 return sweep_blocked(
                     s, blocked, d.user_counts, d.item_counts, *hyper,
-                    precision=precision, interpret=interpret,
+                    precision=precision, interpret=interpret, mesh=mesh,
                 )
         else:
 
@@ -267,6 +270,7 @@ class HPF(FactorModel):
                 return sweep(s, d, *hyper)
 
         val = self._build_eval(val_df) if val_df is not None else None
+        data, state, val = self._mesh_place(data, state, val, mesh)
         loop = FitLoop(
             sweep_fn,
             eval_metrics,

@@ -207,7 +207,11 @@ class HPFMap(FactorModel):
     Adam moments and the epoch RNG key (SURVEY §5.4)."""
 
     def fit(self, train_df, val_df=None, resume_from=None,
-            checkpoint_dir=None, checkpoint_every=5):
+            checkpoint_dir=None, checkpoint_every=5, mesh=None):
+        """``mesh``: optional `jax.sharding.Mesh` — data-parallel SGD: the
+        epoch's rating arrays shard on the batch-element axis ("data"),
+        params/Adam state replicate, and GSPMD psums the per-shard gradient
+        scatter contributions over ICI each step."""
         cfg = self.config
         u, i, x = as_triples(train_df)
         self.n_users = int(u.max()) + 1
@@ -257,6 +261,28 @@ class HPFMap(FactorModel):
                 print(f"Resumed from {resume_from} after epoch {done_epoch}", flush=True)
 
         val = self._build_eval(val_df) if val_df is not None else None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from pmf_tpu.parallel import DATA_AXIS, replicate, shard_eval_set
+
+            n_dev = mesh.devices.size
+            if B % n_dev != 0:
+                raise ValueError(
+                    f"batch_size={B} not divisible by {n_dev} mesh devices"
+                )
+            edge = NamedSharding(mesh, P(DATA_AXIS))
+            batch = NamedSharding(mesh, P(None, DATA_AXIS))
+            u_all = jax.device_put(u_all, edge)
+            i_all = jax.device_put(i_all, edge)
+            x_all = jax.device_put(x_all, edge)
+            mask_all = jax.device_put(mask_all, batch)
+            params = replicate(params, mesh)
+            opt_state = replicate(opt_state, mesh)
+            user_scale = jax.device_put(user_scale, NamedSharding(mesh, P()))
+            item_scale = jax.device_put(item_scale, NamedSharding(mesh, P()))
+            if val is not None:
+                val = shard_eval_set(val, mesh)
         self.fit_history = []
         self.best_val_rmse = float("inf")
         for epoch in range(start_epoch, cfg.epochs + 1):

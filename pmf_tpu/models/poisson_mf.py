@@ -254,7 +254,9 @@ class PoissonMF(FactorModel):
     """Reference-compatible facade for plain and extended Poisson MF."""
 
     def fit(self, train_df, val_df=None, resume_from=None,
-            checkpoint_dir=None, checkpoint_every=10):
+            checkpoint_dir=None, checkpoint_every=10, mesh=None):
+        """``mesh``: optional `jax.sharding.Mesh` for multi-chip training
+        (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`)."""
         cfg = self.config
         data = self._build_train(train_df)
         self.n_users, self.n_items = data.n_users, data.n_items
@@ -279,7 +281,7 @@ class PoissonMF(FactorModel):
             def sweep_fn(s, d):
                 return sweep_blocked(
                     s, blocked, d.user_counts, d.item_counts, cfg.a0, cfg.b0,
-                    precision=precision, interpret=interpret,
+                    precision=precision, interpret=interpret, mesh=mesh,
                 )
         else:
 
@@ -290,6 +292,7 @@ class PoissonMF(FactorModel):
             return eval_metrics(s, ev, cfg.extended)
 
         val = self._build_eval(val_df) if val_df is not None else None
+        data, state, val = self._mesh_place(data, state, val, mesh)
         loop = FitLoop(
             sweep_fn,
             eval_fn,

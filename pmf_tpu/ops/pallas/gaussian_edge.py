@@ -146,8 +146,13 @@ def _bias_kernel(
 
 
 def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_width,
-                   interpret: bool = False):
-    """Shared scan-over-segments driver (see cavi_edge for the rationale)."""
+                   interpret: bool = False, mesh=None):
+    """Shared scan-over-segments driver (see cavi_edge for the rationale).
+
+    mesh: optional 1-D `jax.sharding.Mesh` — segments shard across the
+    "data" axis (dummy zero-contribution segments pad to a multiple of the
+    device count) and per-device accumulators combine with one psum over
+    ICI, mirroring `cavi_edge.poisson_edge_stats`."""
     n_segments = p.n_chunks // p.seg_chunks
     max_blocks = max(p.seg_n_blocks)
     out_rows = max_blocks * p.bs_self
@@ -195,14 +200,51 @@ def _run_segmented(kernel, p: BlockedPass, payload_width, scalar_tables, out_wid
         region = jax.lax.dynamic_slice(acc, (r0, zero), (out_rows, K_out))
         return jax.lax.dynamic_update_slice(acc, region + seg_out, (r0, zero)), None
 
-    acc, _ = jax.lax.scan(body, acc0, xs)
+    if mesh is None:
+        acc, _ = jax.lax.scan(body, acc0, xs)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        pad_segs = (-n_segments) % n_dev
+        if pad_segs:
+            # Dummy segments: all-padding edges (local index == block size
+            # matches no one-hot column), nr = 0 masks the whole window.
+            def pad_seg(a, fill):
+                shape = (pad_segs,) + a.shape[1:]
+                return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)])
+
+            pad_loc = (p.bs_self << 16) | p.bs_other
+            xs = (
+                pad_seg(xs[0], 0),
+                pad_seg(xs[1], 0),
+                pad_seg(xs[2], pad_loc),
+                pad_seg(xs[3], 0),
+                pad_seg(xs[4], 0),
+                pad_seg(xs[5], 0),
+            )
+
+        def local_segments(*xs_local):
+            acc, _ = jax.lax.scan(body, acc0, xs_local)
+            return jax.lax.psum(acc, "data")
+
+        acc = jax.shard_map(
+            local_segments,
+            mesh=mesh,
+            in_specs=tuple(P("data") for _ in xs),
+            out_specs=P(),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )(*xs)
     return acc[: p.n_self]
 
 
-@functools.partial(jax.jit, static_argnames=("use_bias", "precision", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("use_bias", "precision", "interpret", "mesh")
+)
 def gaussian_factor_stats(
     m_other, V_other, b_self, b_other, p: BlockedPass,
     use_bias: bool = True, precision: str = "high", interpret: bool = False,
+    mesh=None,
 ):
     """Return (S_w (n_self, K), S_A (n_self, K, K)) for one factor block."""
     K = m_other.shape[1]
@@ -229,16 +271,16 @@ def gaussian_factor_stats(
         chunk_size=p.chunk_size, parts=parts, highest=highest, k=K, use_bias=use_bias,
     )
     out = _run_segmented(kernel, p, K + K * K, (aug, bself_tab), K + K * K,
-                         interpret=interpret)
+                         interpret=interpret, mesh=mesh)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, :K], out[:, K:].reshape(-1, K, K)
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+@functools.partial(jax.jit, static_argnames=("precision", "interpret", "mesh"))
 def gaussian_bias_stats(
     m_self, m_other, b_other, p: BlockedPass,
-    precision: str = "high", interpret: bool = False,
+    precision: str = "high", interpret: bool = False, mesh=None,
 ):
     """Return s (n_self,): per-row sums of bias residuals."""
     K = m_self.shape[1]
@@ -261,7 +303,8 @@ def gaussian_bias_stats(
         _bias_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
         chunk_size=p.chunk_size, parts=parts, highest=highest, k=K,
     )
-    out = _run_segmented(kernel, p, 1, (aug, mself_tab), 1, interpret=interpret)
+    out = _run_segmented(kernel, p, 1, (aug, mself_tab), 1, interpret=interpret,
+                         mesh=mesh)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, 0]
