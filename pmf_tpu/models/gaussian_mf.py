@@ -65,8 +65,15 @@ class GaussianMFConfig:
     # diagonal covariances — a documented mean-field coarsening for very
     # large row counts where (rows, K, K) covariance storage is infeasible
     # (SURVEY.md §7 "Gaussian covariance memory").  Diag mode stores V as
-    # (rows, K) and runs on the flat engine.
+    # (rows, K).
     covariance: str = "full"
+    # Blocked-engine tile sizes (None -> tuned defaults).  The Gaussian
+    # payload is K(K+1)/2-wide, so per-edge MXU cost scales with the block
+    # size; 256-row blocks measure fastest at ML-25M density (vs the HPF
+    # kernel's 512).
+    block_size: Optional[int] = None
+    chunk_size: Optional[int] = None
+    group: Optional[int] = None
 
 
 def init_state(n_users: int, n_items: int, cfg: GaussianMFConfig) -> dict:
@@ -302,7 +309,8 @@ def sweep(
     }
 
 
-@partial(jax.jit, static_argnames=("use_bias", "precision", "interpret", "mesh"))
+@partial(jax.jit, static_argnames=("use_bias", "precision", "interpret", "mesh",
+                                   "covariance"))
 def sweep_blocked(
     state: dict,
     blocked,
@@ -316,10 +324,20 @@ def sweep_blocked(
     precision: str = "high",
     interpret: bool = False,
     mesh=None,
+    covariance: str = "full",
+    blocked_bias=None,
 ) -> dict:
     """Same iteration as :func:`sweep`, with all four edge passes computed
-    by the Gaussian Pallas kernels (`pmf_tpu.ops.pallas.gaussian_edge`)."""
-    from pmf_tpu.ops.pallas.gaussian_edge import gaussian_bias_stats, gaussian_factor_stats
+    by the Gaussian Pallas kernels (`pmf_tpu.ops.pallas.gaussian_edge`) and
+    the K x K solves by the unrolled Gauss-Jordan batched inverse (XLA's
+    batched Cholesky lowers to sequential While loops on TPU — measured
+    ~0.4 s for 162k users at K=20, vs ~0.02 s unrolled)."""
+    from pmf_tpu.ops.pallas.gaussian_edge import (
+        gaussian_bias_stats,
+        gaussian_diag_stats,
+        gaussian_factor_stats,
+    )
+    from pmf_tpu.ops.solve import batched_psd_inverse_fast
 
     K = state["m_theta"].shape[1]
     dtype = state["m_theta"].dtype
@@ -327,42 +345,71 @@ def sweep_blocked(
 
     def factor_update(m_old, V_old, S_w, S_A, counts, eta2):
         precn = eye / jnp.asarray(eta2, dtype) + S_A / jnp.asarray(sigma2, dtype)
-        V_new = batched_psd_inverse(precn)
+        V_new = batched_psd_inverse_fast(precn)
         m_new = jnp.einsum("rkl,rl->rk", V_new, S_w) / jnp.asarray(sigma2, dtype)
         has = (counts > 0)[:, None]
         return jnp.where(has, m_new, m_old), jnp.where(has[:, :, None], V_new, V_old)
 
-    # theta block (old betas, old biases).
-    S_w, S_A = gaussian_factor_stats(
-        state["m_beta"], state["V_beta"], state["b_user"], state["b_item"],
-        blocked.by_user, use_bias=use_bias, precision=precision, interpret=interpret,
-        mesh=mesh,
-    )
-    m_theta, V_theta = factor_update(
-        state["m_theta"], state["V_theta"], S_w, S_A, user_counts, eta_theta2
-    )
+    def diag_block(m_self, v_self, m_other, v_other, b_self, b_other, pass_,
+                   counts, eta2):
+        S_mr, S_sq, S_mm = gaussian_diag_stats(
+            m_other, v_other, m_self, b_self, b_other, pass_,
+            use_bias=use_bias, precision=precision, interpret=interpret,
+            mesh=mesh,
+        )
+        precn = 1.0 / jnp.asarray(eta2, dtype) + S_sq / jnp.asarray(sigma2, dtype)
+        v_new = 1.0 / precn
+        m_new = (S_mr + m_self * S_mm) / (jnp.asarray(sigma2, dtype) * precn)
+        has = (counts > 0)[:, None]
+        return jnp.where(has, m_new, m_self), jnp.where(has, v_new, v_self)
 
-    # beta block (new thetas, old biases).
-    S_w_i, S_A_i = gaussian_factor_stats(
-        m_theta, V_theta, state["b_item"], state["b_user"],
-        blocked.by_item, use_bias=use_bias, precision=precision, interpret=interpret,
-        mesh=mesh,
-    )
-    m_beta, V_beta = factor_update(
-        state["m_beta"], state["V_beta"], S_w_i, S_A_i, item_counts, eta_beta2
-    )
+    if covariance == "diag":
+        m_theta, V_theta = diag_block(
+            state["m_theta"], state["V_theta"], state["m_beta"], state["V_beta"],
+            state["b_user"], state["b_item"], blocked.by_user, user_counts,
+            eta_theta2,
+        )
+        m_beta, V_beta = diag_block(
+            state["m_beta"], state["V_beta"], m_theta, V_theta,
+            state["b_item"], state["b_user"], blocked.by_item, item_counts,
+            eta_beta2,
+        )
+    else:
+        # theta block (old betas, old biases).
+        S_w, S_A = gaussian_factor_stats(
+            state["m_beta"], state["V_beta"], state["b_user"], state["b_item"],
+            blocked.by_user, use_bias=use_bias, precision=precision,
+            interpret=interpret, mesh=mesh,
+        )
+        m_theta, V_theta = factor_update(
+            state["m_theta"], state["V_theta"], S_w, S_A, user_counts, eta_theta2
+        )
+
+        # beta block (new thetas, old biases).
+        S_w_i, S_A_i = gaussian_factor_stats(
+            m_theta, V_theta, state["b_item"], state["b_user"],
+            blocked.by_item, use_bias=use_bias, precision=precision,
+            interpret=interpret, mesh=mesh,
+        )
+        m_beta, V_beta = factor_update(
+            state["m_beta"], state["V_beta"], S_w_i, S_A_i, item_counts, eta_beta2
+        )
 
     b_user = state["b_user"]
     b_item = state["b_item"]
+    # The bias passes' narrow [m|b|x] payload hits the 128-lane one-hot
+    # floor, so their MXU cost scales purely with the block size — an
+    # optional smaller-block sub-layout (blocked_bias) cuts it ~4x.
+    bias_layout = blocked if blocked_bias is None else blocked_bias
     if use_bias:
         s_u = gaussian_bias_stats(
-            m_theta, m_beta, b_item, blocked.by_user,
+            m_theta, m_beta, b_item, bias_layout.by_user,
             precision=precision, interpret=interpret, mesh=mesh,
         )
         prec_u = 1.0 / jnp.asarray(eta_bias2, dtype) + user_counts / jnp.asarray(sigma2, dtype)
         b_user = jnp.where(user_counts > 0, s_u / (prec_u * jnp.asarray(sigma2, dtype)), b_user)
         s_i = gaussian_bias_stats(
-            m_beta, m_theta, b_user, blocked.by_item,
+            m_beta, m_theta, b_user, bias_layout.by_item,
             precision=precision, interpret=interpret, mesh=mesh,
         )
         prec_i = 1.0 / jnp.asarray(eta_bias2, dtype) + item_counts / jnp.asarray(sigma2, dtype)
@@ -403,7 +450,7 @@ class GaussianMF(FactorModel):
 
     def fit(self, train_df, val_df=None, global_mean: float = 0.0,
             resume_from=None, checkpoint_dir=None, checkpoint_every=10,
-            mesh=None):
+            mesh=None, profile_dir=None):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip training
         (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`)."""
         cfg = self.config
@@ -416,20 +463,27 @@ class GaussianMF(FactorModel):
                                     resume_from)
 
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
-        if cfg.covariance != "full":
-            engine = "flat"  # diag mode runs on the flat engine
         if engine.startswith("blocked"):
             import jax as _jax
 
             from pmf_tpu.data.blocked import build_blocked
 
             u, i, x = as_triples(train_df)
-            # The Gaussian kernels process one chunk per grid step, so
-            # prefer bigger chunks than the group-kernel default (and no
-            # group padding, which would buy nothing here).
+            # Tuned defaults (measured at ML-25M scale, docs/PERFORMANCE.md):
+            # 512-row blocks / 128-edge chunks / groups of 8 (the Gaussian
+            # kernels' Mosaic compile caps the group at 8); auto_tiles
+            # shrinks the chunk for reference-density (sparse-tile) shapes.
+            from pmf_tpu.data.blocked import auto_tiles
+
+            bs = cfg.block_size or 512
+            tiles = auto_tiles(self.n_users, self.n_items, data.nnz,
+                               group_cap=8, block=bs)
+            cs = cfg.chunk_size or tiles["chunk_size"]
+            grp = cfg.group or tiles["group"]
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
                                     dtype=self._dtype, reorder=True,
-                                    chunk_size=512, group=1)
+                                    block_users=bs, block_items=bs,
+                                    chunk_size=cs, group=grp)
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"
@@ -439,7 +493,7 @@ class GaussianMF(FactorModel):
                     s, blocked, d.user_counts, d.item_counts,
                     cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
                     cfg.use_bias, precision=precision, interpret=interpret,
-                    mesh=mesh,
+                    mesh=mesh, covariance=cfg.covariance,
                 )
         else:
 
@@ -471,6 +525,9 @@ class GaussianMF(FactorModel):
             name="GaussianMF",
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
+            profile_dir=profile_dir,
+            # theta + beta edge passes, plus the two bias passes when used
+            edge_visits_per_iter=(4 if cfg.use_bias else 2) * data.nnz,
         )
         self.state = loop.run(state, data, val)
         self.fit_history = loop.history

@@ -154,3 +154,29 @@ def test_blocked_handles_empty_blocks():
     np.testing.assert_allclose(np.asarray(s_alloc[1:700]), 0.0)
     np.testing.assert_allclose(np.asarray(s_other[1:700]), 0.0)
     assert np.asarray(s_other[700]).sum() > 0
+
+
+def test_gaussian_bias_sublayout_matches(small_ratings):
+    """sweep_blocked with a separate smaller-block bias sub-layout matches
+    the single-layout sweep (the bias passes are layout-invariant)."""
+    from pmf_tpu.data.coo import build_ratings as _br
+    from pmf_tpu.models.gaussian_mf import GaussianMFConfig, init_state, sweep_blocked
+
+    u, i, x = small_ratings
+    xc = (x - x.mean()).astype(np.float32)
+    n_users, n_items = int(u.max()) + 1, int(i.max()) + 1
+    flat = _br(u, i, xc, dtype=np.float32)
+    main = build_blocked(u, i, xc, block_users=64, block_items=64,
+                         chunk_size=128, group=4, reorder=True)
+    sub = build_blocked(u, i, xc, block_users=32, block_items=32,
+                        chunk_size=64, group=4, reorder=True)
+    cfg = GaussianMFConfig(n_factors=5, verbose=False)
+    state = init_state(n_users, n_items, cfg)
+    one = sweep_blocked(dict(state), main, flat.user_counts, flat.item_counts,
+                        1.0, 0.5, 0.5, 0.7, True, interpret=True)
+    two = sweep_blocked(dict(state), main, flat.user_counts, flat.item_counts,
+                        1.0, 0.5, 0.5, 0.7, True, interpret=True,
+                        blocked_bias=sub)
+    for k in one:
+        np.testing.assert_allclose(np.asarray(one[k]), np.asarray(two[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)

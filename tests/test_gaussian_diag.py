@@ -24,6 +24,26 @@ def test_diag_mode_fits_and_predicts(small_splits):
     assert train_rmse < np.sqrt(np.mean((tx - mean) ** 2))
 
 
+def test_diag_engines_agree(small_splits):
+    """The diag-covariance blocked (Pallas) engine matches the flat diag
+    sweep — the 3K-wide payload mode built for ML-25M+ row counts."""
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    mean = tx.mean()
+    train, val = (tu, ti, tx - mean), (vu, vi, vx - mean)
+    base = dict(n_factors=6, sigma2=0.8, eta_theta2=0.5, eta_beta2=0.5,
+                eta_bias2=0.7, max_iter=4, tol=None, verbose=False,
+                dtype="float32", covariance="diag", use_bias=True)
+    flat = GaussianMF(GaussianMFConfig(engine="flat", **base)).fit(
+        train, val, global_mean=mean)
+    blocked = GaussianMF(GaussianMFConfig(engine="blocked_high", **base)).fit(
+        train, val, global_mean=mean)
+    for k in ("m_theta", "m_beta", "V_theta", "V_beta", "b_user", "b_item"):
+        np.testing.assert_allclose(
+            np.asarray(flat.state[k]), np.asarray(blocked.state[k]),
+            rtol=5e-3, atol=3e-5, err_msg=k,
+        )
+
+
 def test_diag_tracks_full_roughly(small_splits):
     """Same data, both modes: final val RMSE within a loose band."""
     (tu, ti, tx), (vu, vi, vx), _ = small_splits
