@@ -234,6 +234,72 @@ def sweep_blocked(
     return {"a_theta": a_theta, "b_theta": b_theta, "a_beta": a_beta, "b_beta": b_beta}
 
 
+@partial(jax.jit, static_argnames=("precision", "interpret", "mesh"))
+def sweep_blocked_extended(
+    state: dict,
+    blocked,
+    user_counts: jax.Array,
+    item_counts: jax.Array,
+    sx_user: jax.Array,
+    sx_item: jax.Array,
+    a0: float,
+    b0: float,
+    precision: str = "high",
+    interpret: bool = False,
+    mesh=None,
+) -> dict:
+    """Extended-Poisson iteration with Pallas blocked edge passes
+    (`pmf_tpu.ops.pallas.ext_edge`).  sx_user/sx_item are the per-row
+    rating sums (constant across iterations, precomputed once)."""
+    from pmf_tpu.ops.pallas.ext_edge import ext_factor_stats, ext_scalar_stats
+
+    dtype = state["a_theta"].dtype
+
+    def block(E_self, E_other, s_other, p, counts, sx):
+        has = (counts > 0)[:, None]
+        has1 = counts > 0
+        S_alloc, S_wother = ext_factor_stats(
+            E_self, E_other, s_other, p, precision=precision,
+            interpret=interpret, mesh=mesh,
+        )
+        a_fac = jnp.where(has, a0 + S_alloc, jnp.asarray(a0, dtype))
+        b_fac = jnp.where(has, b0 + S_wother, jnp.asarray(b0, dtype))
+        E_fac = a_fac / b_fac
+        # Gauss-Seidel scalar refresh: rate uses the UPDATED factor rows
+        # (`poisson_mf_extended_cavi.py:153-164`).
+        S_sdot = ext_scalar_stats(
+            E_fac, E_other, s_other, p, precision=precision,
+            interpret=interpret, mesh=mesh,
+        )
+        a_s = jnp.where(has1, a0 + sx, jnp.asarray(a0, dtype))
+        b_s = jnp.where(has1, b0 + S_sdot, jnp.asarray(b0, dtype))
+        return a_fac, b_fac, a_s, b_s
+
+    E_theta = state["a_theta"] / state["b_theta"]
+    E_beta = state["a_beta"] / state["b_beta"]
+    E_phi = state["a_phi"] / state["b_phi"]
+    E_psi = state["a_psi"] / state["b_psi"]
+
+    a_theta, b_theta, a_phi, b_phi = block(
+        E_theta, E_beta, E_psi, blocked.by_user, user_counts, sx_user
+    )
+    E_theta = a_theta / b_theta
+    E_phi = a_phi / b_phi
+    a_beta, b_beta, a_psi, b_psi = block(
+        E_beta, E_theta, E_phi, blocked.by_item, item_counts, sx_item
+    )
+    return {
+        "a_theta": a_theta,
+        "b_theta": b_theta,
+        "a_beta": a_beta,
+        "b_beta": b_beta,
+        "a_phi": a_phi,
+        "b_phi": b_phi,
+        "a_psi": a_psi,
+        "b_psi": b_psi,
+    }
+
+
 @partial(jax.jit, static_argnames=("extended",))
 def eval_metrics(state: dict, ev: EvalSet, extended: bool):
     """Validation RMSE + macro-MAE over ALL real rows, out-of-range pairs
@@ -254,7 +320,8 @@ class PoissonMF(FactorModel):
     """Reference-compatible facade for plain and extended Poisson MF."""
 
     def fit(self, train_df, val_df=None, resume_from=None,
-            checkpoint_dir=None, checkpoint_every=10, mesh=None):
+            checkpoint_dir=None, checkpoint_every=10, mesh=None,
+            profile_dir=None):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip training
         (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`)."""
         cfg = self.config
@@ -266,23 +333,41 @@ class PoissonMF(FactorModel):
                                     resume_from)
 
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
-        if engine.startswith("blocked") and not cfg.extended:
+        if engine.startswith("blocked"):
             import jax as _jax
 
-            from pmf_tpu.data.blocked import build_blocked
+            from pmf_tpu.data.blocked import auto_tiles, build_blocked
 
             u, i, x = as_triples(train_df)
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
-                                    dtype=self._dtype, reorder=True)
+                                    dtype=self._dtype, reorder=True,
+                                    **auto_tiles(self.n_users, self.n_items, data.nnz))
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"
 
-            def sweep_fn(s, d):
-                return sweep_blocked(
-                    s, blocked, d.user_counts, d.item_counts, cfg.a0, cfg.b0,
-                    precision=precision, interpret=interpret, mesh=mesh,
+            if cfg.extended:
+                # Per-row rating sums: constant across iterations.
+                sx_user = jnp.asarray(
+                    np.bincount(u, weights=x, minlength=self.n_users), self._dtype
                 )
+                sx_item = jnp.asarray(
+                    np.bincount(i, weights=x, minlength=self.n_items), self._dtype
+                )
+
+                def sweep_fn(s, d):
+                    return sweep_blocked_extended(
+                        s, blocked, d.user_counts, d.item_counts,
+                        sx_user, sx_item, cfg.a0, cfg.b0,
+                        precision=precision, interpret=interpret, mesh=mesh,
+                    )
+            else:
+
+                def sweep_fn(s, d):
+                    return sweep_blocked(
+                        s, blocked, d.user_counts, d.item_counts, cfg.a0, cfg.b0,
+                        precision=precision, interpret=interpret, mesh=mesh,
+                    )
         else:
 
             def sweep_fn(s, d):
@@ -303,6 +388,9 @@ class PoissonMF(FactorModel):
             name="PoissonMF" + ("-ext" if cfg.extended else ""),
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
+            profile_dir=profile_dir,
+            # extended re-walks each block's edges for the scalar refresh
+            edge_visits_per_iter=(4 if cfg.extended else 2) * data.nnz,
         )
         self.state = loop.run(state, data, val)
         self.fit_history = loop.history

@@ -74,6 +74,27 @@ def test_fast_engine_converges_like_flat(small_splits):
     assert abs(r_flat - r_fast) < 5e-3
 
 
+def test_poisson_extended_engines_agree(small_splits):
+    """The extended variant's blocked engine (two Pallas passes per block,
+    Gauss-Seidel scalar refresh) matches the flat sweep, including the
+    scalar phi/psi factors."""
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    base = dict(n_factors=6, a0=0.6, b0=1.1, max_iter=4, tol=None,
+                verbose=False, dtype="float32", extended=True)
+    flat = _fit(PoissonMF, PoissonMFConfig(engine="flat", **base),
+                (tu, ti, tx), (vu, vi, vx))
+    blocked = _fit(PoissonMF, PoissonMFConfig(engine="blocked_high", **base),
+                   (tu, ti, tx), (vu, vi, vx))
+    for k in flat.state:
+        np.testing.assert_allclose(
+            np.asarray(flat.state[k]), np.asarray(blocked.state[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+    r_flat = [h["val_rmse"] for h in flat.fit_history]
+    r_blk = [h["val_rmse"] for h in blocked.fit_history]
+    np.testing.assert_allclose(r_flat, r_blk, rtol=1e-4)
+
+
 def test_poisson_engines_agree(small_splits):
     (tu, ti, tx), (vu, vi, vx), _ = small_splits
     base = dict(n_factors=6, max_iter=4, tol=None, verbose=False, dtype="float32")
