@@ -57,8 +57,12 @@ DEFAULTS = {
 }
 
 
-def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=True):
-    """Train one model with its reference preprocessing; return metrics."""
+def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=True,
+              profile_dir=None, mesh=None):
+    """Train one model with its reference preprocessing; return metrics.
+
+    ``profile_dir``: capture the whole fit as a jax.profiler trace
+    (TensorBoard-viewable).  ``mesh``: run the fit multi-chip."""
     import dataclasses as _dc
 
     # Never mutate the shared DEFAULTS instances (ADVICE r1).
@@ -69,7 +73,8 @@ def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=T
         train_c, val_c, test_c, mean = center(train_df, val_df, test_df)
         model = GaussianMF(config)
         with Timer() as t:
-            model.fit(train_c, val_c, global_mean=mean)
+            model.fit(train_c, val_c, global_mean=mean,
+                      profile_dir=profile_dir, mesh=mesh)
         for split, df in (("train", train_c), ("val", val_c), ("test", test_c)):
             results[f"{split}_rmse"] = model.evaluate_rmse(df, global_mean=mean)
             results[f"{split}_macro_mae"] = model.evaluate_macro_mae(df, global_mean=mean)
@@ -77,7 +82,7 @@ def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=T
         assert (train_df["rating"] >= 0).all(), "Poisson models need non-negative ratings"
         model = PoissonMF(config)
         with Timer() as t:
-            model.fit(train_df, val_df)
+            model.fit(train_df, val_df, profile_dir=profile_dir, mesh=mesh)
         for split, df in (("train", train_df), ("val", val_df), ("test", test_df)):
             results[f"{split}_rmse"] = model.evaluate_rmse(df)
             results[f"{split}_macro_mae"] = model.evaluate_macro_mae(df)
@@ -86,7 +91,7 @@ def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=T
         tr, va, te = shift(train_df, 1), shift(val_df, 1), shift(test_df, 1)
         model = (HPF if model_name == "hpf_cavi" else HPFMap)(config)
         with Timer() as t:
-            model.fit(tr, va)
+            model.fit(tr, va, profile_dir=profile_dir, mesh=mesh)
         for split, df0, df1 in (("train", train_df, tr), ("val", val_df, va), ("test", test_df, te)):
             preds = model.predict(df1["u"].to_numpy(), df1["i"].to_numpy()) - 1.0
             y = df0["rating"].to_numpy()
@@ -105,6 +110,9 @@ def main(argv=None):
     parser.add_argument("--model", required=True, choices=sorted(DEFAULTS))
     parser.add_argument("--max_iter", type=int, help="override config max_iter/epochs")
     parser.add_argument("--n_factors", type=int, help="override latent dimension")
+    parser.add_argument("--profile_dir", help="write a jax.profiler trace here")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="train over an N-device data mesh (0 = single device)")
     add_data_args(parser)
     args = parser.parse_args(argv)
 
@@ -121,7 +129,13 @@ def main(argv=None):
 
     train_df, val_df, test_df = get_splits(args)
     print_header(f"run_single: {args.model}")
-    res = run_model(args.model, train_df, val_df, test_df, config=config)
+    mesh = None
+    if args.mesh_devices:
+        from pmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
+    res = run_model(args.model, train_df, val_df, test_df, config=config,
+                    profile_dir=args.profile_dir, mesh=mesh)
     for split in ("train", "val", "test"):
         print(
             f"{split:>5} RMSE {res[f'{split}_rmse']:.4f} | "

@@ -82,20 +82,54 @@ ARTIFACT_KEY = {"gaussian": cfg_io.GAUSSIAN_KEY, "poisson": cfg_io.POISSON_KEY,
                 "hpf_cavi": cfg_io.HPF_CAVI_KEY, "hpf_map": cfg_io.HPF_MAP_KEY}
 
 
-def tune_model(model: str, train_df, val_df, n_trials: int, seed: int = 0, verbose=False):
-    """Random search optimizing validation macro-MAE."""
+def _multi_seed_trial(model: str, config, train_df, val_df, seeds):
+    """Score one config across several init seeds SIMULTANEOUSLY via the
+    vmapped multi-seed path (`pmf_tpu.tune.multi_seed`) — one compile, all
+    seeds in a single device program.  Applies the model's reference
+    preprocessing (centering / +1 shift) before fitting; macro-MAE is
+    invariant under the common shift, so scores remain comparable."""
+    import dataclasses
+
+    from pmf_tpu.tune.multi_seed import multi_seed_fit
+
+    if model == "gaussian":
+        train_t, val_t, _, _mean = center(train_df, val_df, val_df)
+    elif model == "hpf_cavi":
+        train_t, val_t = shift(train_df, 1), shift(val_df, 1)
+    else:
+        train_t, val_t = train_df, val_df
+    _, metrics = multi_seed_fit(config, train_t, val_t, seeds=seeds)
+    best = min(metrics, key=lambda m: m["val_macro_mae"])
+    return best["val_macro_mae"], best["val_rmse"], dataclasses.replace(
+        config, random_state=best["seed"]
+    )
+
+
+def tune_model(model: str, train_df, val_df, n_trials: int, seed: int = 0,
+               verbose=False, seeds_per_trial: int = 1):
+    """Random search optimizing validation macro-MAE.  With
+    ``seeds_per_trial > 1``, each CAVI-model trial fits that many init
+    seeds in ONE vmapped program and keeps the best seed (the winning
+    random_state lands in the returned config)."""
     rng = np.random.default_rng(seed)
     best_score, best_config = float("inf"), None
     print_header(f"Tuning {model} ({n_trials} trials)")
+    vmappable = seeds_per_trial > 1 and model in ("gaussian", "poisson", "hpf_cavi")
     for t in range(n_trials):
         config = _sample_config(model, rng)
         try:
-            res = run_model(_RUN_NAME[model], train_df, val_df, val_df,
-                            config=config, verbose=verbose)
-            score = res["val_macro_mae"]
+            if vmappable:
+                score, rmse_v, config = _multi_seed_trial(
+                    model, config, train_df, val_df,
+                    seeds=tuple(range(seeds_per_trial)),
+                )
+            else:
+                res = run_model(_RUN_NAME[model], train_df, val_df, val_df,
+                                config=config, verbose=verbose)
+                score, rmse_v = res["val_macro_mae"], res["val_rmse"]
             print(
                 f"Trial {t + 1}/{n_trials}: MacroMAE={score:.4f} "
-                f"(RMSE={res['val_rmse']:.4f}) | {config}",
+                f"(RMSE={rmse_v:.4f}) | {config}",
                 flush=True,
             )
             if np.isfinite(score) and score < best_score:
@@ -136,6 +170,9 @@ def main(argv=None):
                         choices=["gaussian", "poisson", "hpf_cavi", "hpf_map"])
     parser.add_argument("--grid_hpf_map", action="store_true")
     parser.add_argument("--tune_seed", type=int, default=0)
+    parser.add_argument("--seeds_per_trial", type=int, default=1,
+                        help="fit N init seeds per trial in one vmapped "
+                             "program (CAVI models)")
     parser.add_argument("--subsample", type=int, default=50000)
     parser.add_argument("--out", default="best_hyperparams.txt")
     parser.add_argument("--verbose", action="store_true")
@@ -157,7 +194,8 @@ def main(argv=None):
     results = {}
     for model in args.models:
         best = tune_model(model, train_df, val_df, args.n_trials,
-                          seed=args.tune_seed, verbose=args.verbose)
+                          seed=args.tune_seed, verbose=args.verbose,
+                          seeds_per_trial=args.seeds_per_trial)
         if best is not None:
             results[ARTIFACT_KEY[model]] = best
     cfg_io.write_best_hyperparams(results, args.out)

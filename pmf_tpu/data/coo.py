@@ -98,11 +98,14 @@ def build_ratings(
         out[:nnz] = arr
         return out
 
-    order_u = np.argsort(u, kind="stable")
-    order_i = np.argsort(i, kind="stable")
+    # Dual stable sorts + per-row counts through the native radix runtime
+    # (numpy argsort fallback inside) — the host-side hot path at 25M+ edges.
+    from pmf_tpu.data.native import radix_argsort
 
-    user_counts = np.bincount(u, minlength=n_users).astype(dtype)
-    item_counts = np.bincount(i, minlength=n_items).astype(dtype)
+    order_u, user_counts64 = radix_argsort(u, n_users)
+    order_i, item_counts64 = radix_argsort(i, n_items)
+    user_counts = user_counts64.astype(dtype)
+    item_counts = item_counts64.astype(dtype)
 
     return RatingsCOO(
         u_by_u=jnp.asarray(pad(u[order_u], n_users)),

@@ -120,22 +120,25 @@ def parse_interactions_csv(path: str, columns=("u", "i", "rating"), n_threads: i
     return u, i, x
 
 
-def radix_argsort(keys: np.ndarray, n_keys: int):
-    """Stable argsort of non-negative int32 keys + per-key counts via the
-    native radix sort; numpy fallback."""
+def radix_argsort(keys: np.ndarray, n_keys: int, return_counts: bool = True):
+    """Stable argsort of non-negative int32 keys (+ per-key counts) via the
+    native radix sort; numpy fallback.  With ``return_counts=False`` the
+    counts buffer is skipped (useful for huge key spaces)."""
     keys32 = np.ascontiguousarray(keys, dtype=np.int32)
     lib = get_lib()
     if lib is None:
-        return np.argsort(keys32, kind="stable"), np.bincount(
-            keys32, minlength=n_keys
-        ).astype(np.int64)
+        perm = np.argsort(keys32, kind="stable")
+        if not return_counts:
+            return perm, None
+        return perm, np.bincount(keys32, minlength=n_keys).astype(np.int64)
     n = len(keys32)
     perm = np.empty(n, dtype=np.int64)
-    counts = np.zeros(n_keys, dtype=np.int64)
+    counts = np.zeros(n_keys, dtype=np.int64) if return_counts else None
     lib.pmf_radix_argsort(
         keys32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n, n_keys,
         perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if return_counts else None,
     )
     return perm, counts

@@ -103,10 +103,18 @@ def preprocess_data(raw_dir: str = RAW_DIR, processed_dir: str = PROCESSED_DIR) 
 
 
 def load_interactions(split: str, processed_dir: str = PROCESSED_DIR) -> pd.DataFrame:
+    """Load one processed split as a u/i/rating frame.  The parse itself
+    runs through the native multithreaded CSV runtime
+    (`native/ingest.cpp:pmf_parse_csv`, ~10x pandas on the interaction
+    files — see docs/PERFORMANCE.md), with a pandas fallback when no
+    toolchain is available."""
     path = os.path.join(processed_dir, f"interactions_{split}.csv")
     if not os.path.exists(path):
         raise FileNotFoundError(f"File not found: {path}")
-    return pd.read_csv(path)[["u", "i", "rating"]]
+    from pmf_tpu.data.native import parse_interactions_csv
+
+    u, i, x = parse_interactions_csv(path, columns=("u", "i", "rating"))
+    return pd.DataFrame({"u": u, "i": i, "rating": x})
 
 
 def load_all_splits(processed_dir: str = PROCESSED_DIR):

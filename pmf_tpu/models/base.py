@@ -63,6 +63,7 @@ class FitLoop:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 10,
         profile_dir: Optional[str] = None,
+        edge_visits_per_iter: Optional[int] = None,
     ):
         self.sweep_fn = sweep_fn
         self.eval_fn = eval_fn
@@ -74,6 +75,10 @@ class FitLoop:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.profile_dir = profile_dir
+        # Ratings touched per iteration (nnz x number of edge passes); when
+        # set, each history record carries ``updates_per_sec`` (SURVEY §5.1:
+        # the reference only ever logged wall-clock).
+        self.edge_visits_per_iter = edge_visits_per_iter
         self.history: list[dict] = []
 
     def _maybe_checkpoint(self, state, it: int) -> None:
@@ -114,11 +119,17 @@ class FitLoop:
                     val_macro_mae=float(val_macro),
                     iter_seconds=_time.perf_counter() - t0,
                 )
+                if self.edge_visits_per_iter:
+                    record["updates_per_sec"] = (
+                        self.edge_visits_per_iter / record["iter_seconds"]
+                    )
                 if self.verbose:
+                    ups = record.get("updates_per_sec")
                     print(
                         f"{self.name} iter {it}/{self.max_iter} | "
                         f"val RMSE {val_rmse:.4f} | macro-MAE {float(val_macro):.4f} | "
-                        f"{record['iter_seconds']:.3f}s",
+                        f"{record['iter_seconds']:.3f}s"
+                        + (f" | {ups/1e6:.1f}M updates/s" if ups else ""),
                         flush=True,
                     )
                 self.history.append(record)
@@ -131,27 +142,31 @@ class FitLoop:
                 prev_val_rmse = val_rmse
             else:
                 record["iter_seconds"] = _time.perf_counter() - t0
+                if self.edge_visits_per_iter:
+                    record["updates_per_sec"] = (
+                        self.edge_visits_per_iter / record["iter_seconds"]
+                    )
                 self.history.append(record)
         return state
 
 
 def resolve_engine(engine: str, n_users=None, n_items=None, nnz=None) -> str:
-    """"auto" -> the Pallas blocked engine on accelerators when the data is
-    big and dense enough for its tiles, XLA flat otherwise (CPU, small
-    data, or so sparse that tile padding would dominate — e.g. recipe-
-    scale 700k edges over 25k x 178k rows)."""
+    """"auto" -> the Pallas blocked engine on accelerators, XLA flat on CPU
+    or for small data (where compile + layout-build time dominates).
+
+    Round 1 also fell back to flat for sparse-tile shapes (Food.com-density
+    700k edges over 25k x 178k rows padded 3-12x at fixed 128-edge chunks);
+    `pmf_tpu.data.blocked.auto_tiles` now shrinks the chunk size for those
+    shapes and the blocked engine WINS there (measured 1.7x HPF / 3.9x
+    Gaussian over flat at the reference's own shape — docs/PERFORMANCE.md)."""
     if engine != "auto":
         return engine
     import jax
 
     if jax.default_backend() == "cpu":
         return "flat"
-    if nnz is not None and n_users and n_items:
-        if nnz < 2_000_000:
-            return "flat"
-        edges_per_tile = nnz * (512 * 512) / (n_users * n_items)
-        if edges_per_tile < 128:
-            return "flat"
+    if nnz is not None and nnz < 300_000:
+        return "flat"
     return "blocked_high"
 
 

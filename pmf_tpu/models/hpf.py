@@ -233,7 +233,8 @@ class HPF(FactorModel):
     """Reference-compatible facade for HPF-CAVI."""
 
     def fit(self, train_df, val_df=None, resume_from=None,
-            checkpoint_dir=None, checkpoint_every=10, mesh=None):
+            checkpoint_dir=None, checkpoint_every=10, mesh=None,
+            profile_dir=None):
         """``mesh``: optional `jax.sharding.Mesh` — the full fit (sweeps,
         validation eval, early stopping) runs multi-chip with edges and eval
         rows sharded on the "data" axis (see `FactorModel._mesh_place`)."""
@@ -250,11 +251,12 @@ class HPF(FactorModel):
         if engine.startswith("blocked"):
             import jax as _jax
 
-            from pmf_tpu.data.blocked import build_blocked
+            from pmf_tpu.data.blocked import auto_tiles, build_blocked
 
             u, i, x = as_triples(train_df)
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
-                                    dtype=self._dtype, reorder=True)
+                                    dtype=self._dtype, reorder=True,
+                                    **auto_tiles(self.n_users, self.n_items, data.nnz))
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"
@@ -281,6 +283,8 @@ class HPF(FactorModel):
             name="HPF",
             checkpoint_dir=checkpoint_dir,
             checkpoint_every=checkpoint_every,
+            profile_dir=profile_dir,
+            edge_visits_per_iter=2 * data.nnz,  # theta + beta edge passes
         )
         self.state = loop.run(state, data, val)
         self.fit_history = loop.history

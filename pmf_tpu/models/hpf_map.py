@@ -207,7 +207,8 @@ class HPFMap(FactorModel):
     Adam moments and the epoch RNG key (SURVEY §5.4)."""
 
     def fit(self, train_df, val_df=None, resume_from=None,
-            checkpoint_dir=None, checkpoint_every=5, mesh=None):
+            checkpoint_dir=None, checkpoint_every=5, mesh=None,
+            profile_dir=None):
         """``mesh``: optional `jax.sharding.Mesh` — data-parallel SGD: the
         epoch's rating arrays shard on the batch-element axis ("data"),
         params/Adam state replicate, and GSPMD psums the per-shard gradient
@@ -285,13 +286,36 @@ class HPFMap(FactorModel):
                 val = shard_eval_set(val, mesh)
         self.fit_history = []
         self.best_val_rmse = float("inf")
+        import contextlib
+        import time as _time
+
+        prof = (
+            jax.profiler.trace(profile_dir) if profile_dir
+            else contextlib.nullcontext()
+        )
+        with prof:
+            self._run_epochs(
+                cfg, start_epoch, key, params, opt_state, u_all, i_all, x_all,
+                mask_all, user_scale, item_scale, cfg_scalars, optimizer, val,
+                checkpoint_dir, checkpoint_every, _time,
+            )
+        return self
+
+    def _run_epochs(self, cfg, start_epoch, key, params, opt_state, u_all,
+                    i_all, x_all, mask_all, user_scale, item_scale,
+                    cfg_scalars, optimizer, val, checkpoint_dir,
+                    checkpoint_every, _time):
+        nnz = int(mask_all.sum())
         for epoch in range(start_epoch, cfg.epochs + 1):
+            t0 = _time.perf_counter()
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_epoch(
                 params, opt_state, sub, u_all, i_all, x_all, mask_all,
                 user_scale, item_scale, cfg_scalars, optimizer,
             )
             record = {"epoch": epoch, "train_loss": float(loss)}
+            record["epoch_seconds"] = _time.perf_counter() - t0
+            record["updates_per_sec"] = nnz / record["epoch_seconds"]
             if val is not None:
                 val_rmse, val_macro = eval_metrics(params, val)
                 record.update(val_rmse=float(val_rmse), val_macro_mae=float(val_macro))
