@@ -51,7 +51,13 @@ def classify_failure(e: Exception) -> dict:
     engine failure narrated as OOM — VERDICT r1 Weak #5)."""
     msg = str(e)
     low = msg.lower()
-    if "resource_exhausted" in low or "out of memory" in low or "oom" in low:
+    evidence = next(
+        (ln.strip() for ln in msg.splitlines()
+         if "out of memory" in ln.lower() or "exceeded" in ln.lower()
+         or "resource_exhausted" in ln.lower()),
+        None,
+    )
+    if "resource_exhausted" in low or "out of memory" in low:
         kind = "oom"
     elif "remote_compile" in low or "http 5" in low or "http 4" in low or (
         "deadline" in low
@@ -59,7 +65,8 @@ def classify_failure(e: Exception) -> dict:
         kind = "infra"
     else:
         kind = f"error:{type(e).__name__}"
-    return {"failure": kind, "message": msg[:200]}
+    return {"failure": kind, "message": msg[:160],
+            **({"evidence": evidence[:240]} if evidence else {})}
 
 
 def _sync(x):
@@ -148,28 +155,37 @@ def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
                             block_users=block, block_items=block,
                             chunk_size=chunk, group=group, reorder=True)
 
-    def step(s):
-        return gaussian_mf.sweep_blocked(
-            s, blocked, flat.user_counts, flat.item_counts,
-            cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
-            True, precision="high")
-
     out = {"updates_per_sec_4block": None, "updates_per_sec_factor_only": None,
-           "iter_seconds": None, "tiles": f"B={block} C={chunk} G={group}"}
-    try:
-        dt = _time_chained(step, dict(state0), iters, rtt)
-        out.update(
-            updates_per_sec_4block=round(4.0 * nnz / dt, 1),
-            updates_per_sec_factor_only=round(2.0 * nnz / dt, 1),
-            iter_seconds=round(dt, 4),
-        )
-        print(f"# gaussian blocked_high: {4*nnz/dt/1e6:.0f}M updates/s "
-              f"(4 blocks/rating/iter; factor-only 2-block rate "
-              f"{2*nnz/dt/1e6:.0f}M; {dt:.3f}s/iter)", file=sys.stderr)
-    except Exception as e:
-        out["failure"] = classify_failure(e)
-        print(f"# gaussian failed ({out['failure']['failure']}): {str(e)[:160]}",
-              file=sys.stderr)
+           "iter_seconds": None, "tiles": f"B={block} C={chunk} G={group}",
+           "engines_updates_per_sec_4block": {}}
+    for prec in ("high", "mid", "fast"):
+        def step(s, p=prec):
+            return gaussian_mf.sweep_blocked(
+                s, blocked, flat.user_counts, flat.item_counts,
+                cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
+                True, precision=p)
+
+        try:
+            dt = _time_chained(step, dict(state0), iters, rtt)
+        except Exception as e:
+            out["engines_updates_per_sec_4block"][f"blocked_{prec}"] = None
+            if prec == "high":
+                out["failure"] = classify_failure(e)
+            print(f"# gaussian blocked_{prec} failed "
+                  f"({classify_failure(e)['failure']}): {str(e)[:160]}",
+                  file=sys.stderr)
+            continue
+        out["engines_updates_per_sec_4block"][f"blocked_{prec}"] = round(
+            4.0 * nnz / dt, 1)
+        if prec == "high":
+            out.update(
+                updates_per_sec_4block=round(4.0 * nnz / dt, 1),
+                updates_per_sec_factor_only=round(2.0 * nnz / dt, 1),
+                iter_seconds=round(dt, 4),
+            )
+        print(f"# gaussian blocked_{prec}: {4*nnz/dt/1e6:.0f}M updates/s "
+              f"(4 blocks/rating/iter; factor-only {2*nnz/dt/1e6:.0f}M; "
+              f"{dt:.3f}s/iter)", file=sys.stderr)
     return out
 
 

@@ -90,8 +90,15 @@ def main(argv=None):
     parser.add_argument("--ranking", action="store_true",
                         help="also compute test recall@10 / NDCG@10 "
                              "(beyond the reference's metric set)")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="train every model over an N-device data mesh")
     add_data_args(parser)
     args = parser.parse_args(argv)
+    mesh = None
+    if args.mesh_devices:
+        from pmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
 
     train_df, val_df, test_df = get_splits(args)
     hyperparams = cfg_io.load_best_hyperparams(args.hyperparams)
@@ -108,7 +115,7 @@ def main(argv=None):
         configs_used[display] = config
         try:
             res = run_model(run_name, train_df, val_df, test_df, config=config,
-                            verbose=args.verbose)
+                            verbose=args.verbose, mesh=mesh)
             model = res.pop("_model", None)
             res["model"] = display
             if args.ranking and model is not None:

@@ -89,7 +89,7 @@ def _export(model_dir_name, user_emb, item_emb, config, extra_cfg, test_df, pred
 
 
 def train_one(model_name, train_df, val_df, test_df, dataset_mode, hyperparams,
-              data_dir="data", verbose=True):
+              data_dir="data", verbose=True, mesh=None):
     dir_name, default_key, artifact_key, config_cls = SPECS[model_name]
     raw = hyperparams.get(artifact_key)
     config = (
@@ -107,28 +107,28 @@ def train_one(model_name, train_df, val_df, test_df, dataset_mode, hyperparams,
         dfc["rating"] -= mean
         model = GaussianMF(config)
         with Timer() as t:
-            model.fit(dfc, global_mean=mean)
+            model.fit(dfc, global_mean=mean, mesh=mesh)
         user_emb, item_emb = model.state["m_theta"], model.state["m_beta"]
         predict_fn = lambda u, i: model.predict(u, i, global_mean=mean)
         extra = {"global_mean": mean}
     elif model_name == "poisson":
         model = PoissonMF(config)
         with Timer() as t:
-            model.fit(df)
+            model.fit(df, mesh=mesh)
         user_emb, item_emb = model._point_estimates()
         predict_fn = model.predict
         extra = {}
     elif model_name == "hpf_cavi":
         model = HPF(config)
         with Timer() as t:
-            model.fit(shift(df, 1))
+            model.fit(shift(df, 1), mesh=mesh)
         user_emb, item_emb = model._point_estimates()
         predict_fn = lambda u, i: model.predict(u, i) - 1.0
         extra = {"rating_shift": 1}
     else:  # hpf_map
         model = HPFMap(config)
         with Timer() as t:
-            model.fit(shift(df, 1))
+            model.fit(shift(df, 1), mesh=mesh)
         user_emb, item_emb = model._point_estimates()
         predict_fn = lambda u, i: model.predict(u, i) - 1.0
         extra = {"rating_shift": 1}
@@ -146,16 +146,24 @@ def main(argv=None):
     parser.add_argument("--hyperparams", default="best_hyperparams.txt")
     parser.add_argument("--data_dir", default="data")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="train over an N-device data mesh (0 = single device)")
     add_data_args(parser)
     args = parser.parse_args(argv)
 
     train_df, val_df, test_df = get_splits(args)
     hyperparams = cfg_io.load_best_hyperparams(args.hyperparams)
+    mesh = None
+    if args.mesh_devices:
+        from pmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
     names = list(SPECS) if args.model == "all" else [args.model]
     for name in names:
         try:
             train_one(name, train_df, val_df, test_df, args.dataset_mode,
-                      hyperparams, data_dir=args.data_dir, verbose=args.verbose)
+                      hyperparams, data_dir=args.data_dir, verbose=args.verbose,
+                      mesh=mesh)
         except Exception as e:
             print(f"{name} FAILED: {e}", flush=True)
 

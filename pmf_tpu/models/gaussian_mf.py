@@ -329,15 +329,15 @@ def sweep_blocked(
 ) -> dict:
     """Same iteration as :func:`sweep`, with all four edge passes computed
     by the Gaussian Pallas kernels (`pmf_tpu.ops.pallas.gaussian_edge`) and
-    the K x K solves by the unrolled Gauss-Jordan batched inverse (XLA's
-    batched Cholesky lowers to sequential While loops on TPU — measured
-    ~0.4 s for 162k users at K=20, vs ~0.02 s unrolled)."""
+    the K x K solves by the VMEM-resident Pallas Gauss-Jordan inverse
+    (XLA's batched Cholesky lowers to sequential While loops on TPU —
+    measured ~0.4 s for 162k users at K=20, vs ~2 ms in VMEM)."""
     from pmf_tpu.ops.pallas.gaussian_edge import (
         gaussian_bias_stats,
         gaussian_diag_stats,
         gaussian_factor_stats,
     )
-    from pmf_tpu.ops.solve import batched_psd_inverse_fast
+    from pmf_tpu.ops.pallas.gj_inverse import batched_psd_inverse_pallas
 
     K = state["m_theta"].shape[1]
     dtype = state["m_theta"].dtype
@@ -345,7 +345,7 @@ def sweep_blocked(
 
     def factor_update(m_old, V_old, S_w, S_A, counts, eta2):
         precn = eye / jnp.asarray(eta2, dtype) + S_A / jnp.asarray(sigma2, dtype)
-        V_new = batched_psd_inverse_fast(precn)
+        V_new = batched_psd_inverse_pallas(precn, interpret=interpret)
         m_new = jnp.einsum("rkl,rl->rk", V_new, S_w) / jnp.asarray(sigma2, dtype)
         has = (counts > 0)[:, None]
         return jnp.where(has, m_new, m_old), jnp.where(has[:, :, None], V_new, V_old)

@@ -111,3 +111,25 @@ def test_exploratory(tmp_path, monkeypatch):
 
     stats = main([*SYN])
     assert stats["n_train"] > 0 and stats["n_test"] > 0
+
+
+def test_run_single_mesh_flag():
+    """--mesh_devices drives the full multi-chip fit from the CLI."""
+    from pmf_tpu.cli.run_single import main
+
+    res = main(["--model", "hpf_cavi", "--max_iter", "3",
+                "--mesh_devices", "8", *SYN])
+    assert np.isfinite(res["val_rmse"])
+
+
+def test_tune_multi_seed_trials(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from pmf_tpu import config as cfg_io
+    from pmf_tpu.cli.tune import main
+
+    out = str(tmp_path / "best_hyperparams.txt")
+    results = main(["--n_trials", "2", "--models", "hpf_cavi", "--out", out,
+                    "--seeds_per_trial", "3", *SYN])
+    assert cfg_io.HPF_CAVI_KEY in results
+    # The winning seed landed in the config.
+    assert results[cfg_io.HPF_CAVI_KEY].random_state in (0, 1, 2)

@@ -79,3 +79,19 @@ def test_tri_pack_roundtrip():
     tri = pack_tri(sym.reshape(R, K * K), K)
     assert tri.shape == (R, K * (K + 1) // 2)
     np.testing.assert_allclose(np.asarray(unpack_tri(tri, K)), sym, rtol=1e-12)
+
+
+def test_batched_psd_inverse_pallas_matches(small_ratings):
+    """Pallas VMEM-resident Gauss-Jordan (interpret mode on CPU) matches
+    np.linalg.inv on PD matrices, including the identity-padded tail."""
+    import numpy as np
+
+    from pmf_tpu.ops.pallas.gj_inverse import batched_psd_inverse_pallas
+
+    rng = np.random.default_rng(2)
+    K, R = 10, 300  # not a multiple of the 128-lane batch
+    A = rng.standard_normal((R, K, K)).astype(np.float32)
+    mats = np.eye(K, dtype=np.float32) * 2.0 + 0.1 * A @ np.transpose(A, (0, 2, 1))
+    got = np.asarray(batched_psd_inverse_pallas(mats, interpret=True))
+    np.testing.assert_allclose(got, np.linalg.inv(mats.astype(np.float64)),
+                               rtol=2e-4, atol=2e-5)
