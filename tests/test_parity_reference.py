@@ -204,3 +204,67 @@ def test_hpf_parity_vs_reference_code(ref_models, tiny_df, n_iter):
     ip = np.array([1, 3, 0, 0])
     ref_pred = ref.predict(up, ip)
     np.testing.assert_allclose(model.predict(up, ip), ref_pred, rtol=1e-8, atol=1e-10)
+
+
+def test_preprocess_parity_vs_reference_code(tmp_path, monkeypatch, ref_models):
+    """Run the reference's OWN preprocess_data (src/data/load_data.py:9-90,
+    relative-path based) and pmf_tpu's on identical synthetic raw Kaggle
+    files; assert the five output artifacts match row for row (same
+    filters, same per-user seed-42 shuffle, same leave-out split, same
+    dense id maps).  `ref_models` keeps /root/reference importable."""
+    import pandas as pd
+
+    from pmf_tpu.data import pipeline
+
+    rng = np.random.default_rng(6)
+    n_rows = 4000
+    frames = {}
+    for k, split in enumerate(("train", "validation", "test")):
+        n = n_rows // (1 + k)
+        frames[split] = pd.DataFrame({
+            "user_id": rng.integers(100, 400, n) * 7,  # sparse raw ids
+            "recipe_id": rng.integers(1000, 1300, n) * 3,
+            "rating": rng.integers(0, 6, n).astype(float),
+            "date": "2020-01-01",  # extra raw column, ignored via usecols
+        })
+
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    for d in (ref_dir, our_dir):
+        (d / "data" / "raw").mkdir(parents=True)
+        (d / "data" / "processed").mkdir(parents=True)
+        for split, df in frames.items():
+            df.to_csv(d / "data" / "raw" / f"interactions_{split}.csv",
+                      index=False)
+
+    monkeypatch.chdir(ref_dir)
+    from src.data import load_data as ref_load_data
+
+    # The reference was written against pandas < 3, whose groupby.apply
+    # passed each group INCLUDING the grouping column (pandas 3 removed
+    # include_groups=True).  Shim exactly that legacy semantics — group
+    # frames in sorted key order with all columns — so the reference's own
+    # shuffle/split logic executes unmodified.
+    from pandas.core.groupby.generic import DataFrameGroupBy
+
+    def legacy_apply(self, func, *args, **kwargs):
+        pieces = [func(g, *args, **kwargs) for _, g in self]
+        return pd.concat(pieces)
+
+    monkeypatch.setattr(DataFrameGroupBy, "apply", legacy_apply)
+    ref_load_data.preprocess_data()
+    monkeypatch.undo()  # also reverts the chdir; re-applied below
+    monkeypatch.chdir(our_dir)
+    pipeline.preprocess_data(raw_dir="data/raw", processed_dir="data/processed")
+
+    for name in ("interactions_train.csv", "interactions_validation.csv",
+                 "interactions_test.csv", "dict_i.csv", "dict_u.csv"):
+        got = pd.read_csv(our_dir / "data" / "processed" / name)
+        want = pd.read_csv(ref_dir / "data" / "processed" / name)
+        assert len(got) == len(want), name
+        for col in want.columns:
+            assert col in got.columns, f"{name}: missing column {col}"
+            np.testing.assert_array_equal(
+                got[col].to_numpy(), want[col].to_numpy(),
+                err_msg=f"{name}:{col}",
+            )
