@@ -475,9 +475,18 @@ class GaussianMF(FactorModel):
             # shrinks the chunk for reference-density (sparse-tile) shapes.
             from pmf_tpu.data.blocked import auto_tiles
 
+            # Mosaic's compile helper crashes when group x payload-width
+            # grows too large; empirically G=8 compiles at K=20 (payload
+            # ~500 bf16 cols) and G=4 at K=30 (~1050).  Scale the cap with
+            # the K(K+1)/2 payload (diag mode's 3K payload is tiny).
+            K = cfg.n_factors
+            payload = 3 * K if cfg.covariance == "diag" else 2 * (2 * K + K * (K + 1) // 2)
+            cap = 8
+            while cap > 1 and cap * payload > 4400:
+                cap //= 2
             bs = cfg.block_size or 512
             tiles = auto_tiles(self.n_users, self.n_items, data.nnz,
-                               group_cap=8, block=bs)
+                               group_cap=cap, block=bs)
             cs = cfg.chunk_size or tiles["chunk_size"]
             grp = cfg.group or tiles["group"]
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
