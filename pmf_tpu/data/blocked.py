@@ -153,116 +153,103 @@ def _build_pass(
         starts = np.array([], dtype=np.int64)
         counts = np.array([], dtype=np.int64)
     n_chunks_per_tile = -(-counts // chunk_size)
-
-    # Self blocks with no edges still need one (all-padding) chunk.
-    present_sb = np.unique(uniq // n_other_blocks)
-    missing_sb = np.setdiff1d(np.arange(n_self_blocks), present_sb)
-
-    total_chunks = int(n_chunks_per_tile.sum() + len(missing_sb))
     C = chunk_size
+    n_tiles = len(uniq)
+    tile_sb = (uniq // n_other_blocks).astype(np.int32)
+    tile_ob = (uniq % n_other_blocks).astype(np.int32)
 
-    self_loc = np.full((total_chunks, C), bs_self, dtype=np.int32)
-    other_loc = np.full((total_chunks, C), bs_other, dtype=np.int32)
-    xc = np.zeros((total_chunks, C), dtype=dtype)
-    chunk_sb = np.empty(total_chunks, dtype=np.int32)
-    chunk_ob = np.zeros(total_chunks, dtype=np.int32)
+    # ---- Chunk bookkeeping on small (n_chunks-sized) arrays ONLY.  The
+    # final slot of every real chunk is computed BEFORE touching the big
+    # per-edge arrays, so edges scatter into the final layout exactly once
+    # (the previous formulation permuted the (n_chunks, C) arrays four
+    # times and dominated the 25M-edge host build).
 
-    # Scatter edges into chunk rows (vectorized over edges).
-    chunk_base_per_tile = np.concatenate([[0], np.cumsum(n_chunks_per_tile)[:-1]])
-    edge_tile = np.repeat(np.arange(len(uniq)), counts)
-    edge_rank = np.arange(len(s)) - starts[edge_tile]
-    edge_chunk = chunk_base_per_tile[edge_tile] + edge_rank // C
-    edge_slot = edge_rank % C
-    self_loc[edge_chunk, edge_slot] = (s % bs_self).astype(np.int32)
-    other_loc[edge_chunk, edge_slot] = (o % bs_other).astype(np.int32)
-    xc[edge_chunk, edge_slot] = x.astype(dtype)
+    # Real chunks in (sb, ob)-sorted tile order.
+    chunk_tile = np.repeat(np.arange(n_tiles), n_chunks_per_tile)
+    rchunk_sb = tile_sb[chunk_tile]
+    rchunk_ob = tile_ob[chunk_tile]
+    n_real = len(chunk_tile)
 
-    # Chunk block ids.
-    tile_of_chunk = np.repeat(np.arange(len(uniq)), n_chunks_per_tile)
-    chunk_sb[: len(tile_of_chunk)] = (uniq[tile_of_chunk] // n_other_blocks).astype(np.int32)
-    chunk_ob[: len(tile_of_chunk)] = (uniq[tile_of_chunk] % n_other_blocks).astype(np.int32)
+    # Per-self-block padded counts: at least one group, rounded up to a
+    # multiple of ``group`` (empty blocks still get one all-padding group
+    # so every output block is initialized by the kernel).
+    real_per_block = np.bincount(rchunk_sb, minlength=n_self_blocks)
+    padded_per_block = np.maximum(real_per_block, 1)
+    padded_per_block = ((padded_per_block + group - 1) // group) * group
+    block_start = np.concatenate([[0], np.cumsum(padded_per_block)[:-1]])
+    total_padded = int(padded_per_block.sum())
 
-    # Trailing all-padding chunks for empty self blocks, then re-sort
-    # chunks self-block-major (stable keeps tile order within block).
-    chunk_sb[len(tile_of_chunk):] = missing_sb.astype(np.int32)
-    chunk_order = np.argsort(chunk_sb, kind="stable")
-    self_loc = self_loc[chunk_order]
-    other_loc = other_loc[chunk_order]
-    xc = xc[chunk_order]
-    chunk_sb = chunk_sb[chunk_order]
-    chunk_ob = chunk_ob[chunk_order]
+    # Position of each real chunk in the padded block-major sequence.
+    first_idx_of_block = np.searchsorted(rchunk_sb, np.arange(n_self_blocks))
+    rank_in_block = np.arange(n_real) - first_idx_of_block[rchunk_sb]
+    padded_pos = block_start[rchunk_sb] + rank_in_block
 
-    # Group alignment: every self block gets a chunk count that is a
-    # multiple of ``group`` (extra all-padding chunks as needed) so kernels
-    # may process chunk GROUPS sharing a self block per grid step.  With
-    # aligned blocks, every segment cut at a block boundary lands on group
-    # parity automatically.
-    blocks_present, block_counts = np.unique(chunk_sb, return_counts=True)
-    shortfall = (-block_counts) % group
-    need = blocks_present[shortfall > 0]
-    if len(need):
-        extra_sb = np.repeat(need, shortfall[shortfall > 0]).astype(np.int32)
-        n_extra = len(extra_sb)
-        self_loc = np.concatenate(
-            [self_loc, np.full((n_extra, C), bs_self, dtype=np.int32)])
-        other_loc = np.concatenate(
-            [other_loc, np.full((n_extra, C), bs_other, dtype=np.int32)])
-        xc = np.concatenate([xc, np.zeros((n_extra, C), dtype=dtype)])
-        chunk_sb = np.concatenate([chunk_sb, extra_sb])
-        chunk_ob = np.concatenate([chunk_ob, np.zeros(n_extra, dtype=np.int32)])
-        chunk_order = np.argsort(chunk_sb, kind="stable")
-        self_loc = self_loc[chunk_order]
-        other_loc = other_loc[chunk_order]
-        xc = xc[chunk_order]
-        chunk_sb = chunk_sb[chunk_order]
-        chunk_ob = chunk_ob[chunk_order]
-    total_chunks = len(chunk_sb)
+    pseq_sb = np.repeat(
+        np.arange(n_self_blocks, dtype=np.int32), padded_per_block
+    )
+    pseq_ob = np.zeros(total_padded, dtype=np.int32)
+    pseq_ob[padded_pos] = rchunk_ob
 
     # Segmentation: uniform segments of seg_chunks chunks, preferring cuts
     # at self-block boundaries (straddling allowed for oversized blocks).
-    # Segments must hold whole chunk GROUPS.
-    seg_max = min(seg_chunks, total_chunks)
+    # Block-padded counts are group multiples, so boundary cuts keep group
+    # parity automatically.
+    seg_max = min(seg_chunks, total_padded)
     seg_max = max(group, (seg_max // group) * group)
     ranges = []
     start = 0
-    while start < total_chunks:
-        end = min(start + seg_max, total_chunks)
-        if end < total_chunks:
+    while start < total_padded:
+        end = min(start + seg_max, total_padded)
+        if end < total_padded:
             cut = end
-            while cut > start + 1 and chunk_sb[cut] == chunk_sb[cut - 1]:
+            while cut > start + 1 and pseq_sb[cut] == pseq_sb[cut - 1]:
                 cut -= 1
-            if chunk_sb[cut] != chunk_sb[cut - 1]:
+            if pseq_sb[cut] != pseq_sb[cut - 1]:
                 end = cut
         ranges.append((start, end))
         start = end
 
     n_segments = len(ranges)
     final_chunks = n_segments * seg_max
-    f_self = np.full((final_chunks, C), bs_self, dtype=np.int32)
-    f_other = np.full((final_chunks, C), bs_other, dtype=np.int32)
-    f_x = np.zeros((final_chunks, C), dtype=dtype)
+    pos_to_slot = np.empty(total_padded, dtype=np.int64)
     f_sb = np.empty(final_chunks, dtype=np.int32)
     f_ob = np.zeros(final_chunks, dtype=np.int32)
     seg_first, seg_nblocks = [], []
     for k, (a, b) in enumerate(ranges):
         dst = slice(k * seg_max, k * seg_max + (b - a))
-        f_self[dst] = self_loc[a:b]
-        f_other[dst] = other_loc[a:b]
-        f_x[dst] = xc[a:b]
-        f_sb[dst] = chunk_sb[a:b]
-        f_ob[dst] = chunk_ob[a:b]
+        pos_to_slot[a:b] = np.arange(k * seg_max, k * seg_max + (b - a))
+        f_sb[dst] = pseq_sb[a:b]
+        f_ob[dst] = pseq_ob[a:b]
         # Dummy padding chunks keep the segment's last block id.
-        f_sb[k * seg_max + (b - a) : (k + 1) * seg_max] = chunk_sb[b - 1]
-        seg_first.append(int(chunk_sb[a]))
-        seg_nblocks.append(int(chunk_sb[b - 1]) - int(chunk_sb[a]) + 1)
+        f_sb[k * seg_max + (b - a) : (k + 1) * seg_max] = pseq_sb[b - 1]
+        seg_first.append(int(pseq_sb[a]))
+        seg_nblocks.append(int(pseq_sb[b - 1]) - int(pseq_sb[a]) + 1)
 
+    # ---- One-shot edge scatter into the final flat layout.
     # Column layout (n_chunks*C, 1): a (C, 1) block per grid step puts the
     # chunk's edges along sublanes, which is the layout the kernel's
     # one-hot compares want (and satisfies Mosaic block-shape rules).
-    packed = (f_self.astype(np.int32) << 16) | f_other.astype(np.int32)
+    pad_packed = np.int32((bs_self << 16) | bs_other)
+    packed = np.full(final_chunks * C, pad_packed, dtype=np.int32)
+    f_x = np.zeros(final_chunks * C, dtype=dtype)
+    if len(s):
+        chunk_base_per_tile = np.concatenate(
+            [[0], np.cumsum(n_chunks_per_tile)[:-1]]
+        )
+        edge_tile = np.repeat(np.arange(n_tiles), counts)
+        edge_rank = np.arange(len(s)) - starts[edge_tile]
+        edge_chunk = chunk_base_per_tile[edge_tile] + edge_rank // C
+        edge_final = (
+            pos_to_slot[padded_pos[edge_chunk]] * C + edge_rank % C
+        )
+        packed[edge_final] = (
+            ((s % bs_self).astype(np.int32) << 16)
+            | (o % bs_other).astype(np.int32)
+        )
+        f_x[edge_final] = x.astype(dtype)
     return BlockedPass(
-        loc=jnp.asarray(packed.reshape(-1, 1)),
-        x=jnp.asarray(f_x.reshape(-1, 1)),
+        loc=jnp.asarray(packed[:, None]),
+        x=jnp.asarray(f_x[:, None]),
         chunk_self_block=jnp.asarray(f_sb),
         chunk_other_block=jnp.asarray(f_ob),
         n_chunks=final_chunks,
