@@ -180,3 +180,20 @@ def test_gaussian_bias_sublayout_matches(small_ratings):
     for k in one:
         np.testing.assert_allclose(np.asarray(one[k]), np.asarray(two[k]),
                                    rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+def test_auto_tiles_adapts_to_density():
+    from pmf_tpu.data.blocked import auto_tiles
+
+    # ML-25M-like density: expected edges/tile >> 128 -> tuned C=128.
+    dense = auto_tiles(162_000, 59_000, 25_000_000)
+    assert dense["chunk_size"] == 128 and dense["group"] == 16
+
+    # Food.com density: ~41 edges/tile at B=512 -> chunk shrinks to 32.
+    sparse = auto_tiles(25_076, 178_265, 700_000)
+    assert sparse["chunk_size"] == 32
+    assert sparse["group"] >= 8
+
+    # group_cap respected (Gaussian kernels compile-cap at 8).
+    capped = auto_tiles(162_000, 59_000, 25_000_000, group_cap=8)
+    assert capped["group"] == 8
