@@ -121,8 +121,11 @@ def bench_hpf(u, i, x, n_users, n_items, nnz, K, iters, rtt):
         ("blocked_mid", "mid"),
         ("blocked_fast", "fast"),
         ("flat", None),
+        ("flat_chunked", None),
     ):
-        if prec is None:
+        if engine == "flat_chunked":
+            step = lambda s: hpf.sweep_chunked(s, flat, *hyper)
+        elif prec is None:
             step = lambda s: hpf.sweep(s, flat, *hyper)
         else:
             step = lambda s, p=prec: hpf.sweep_blocked(

@@ -7,3 +7,4 @@ from pmf_tpu.eval.metrics import (
     masked_rmse,
     masked_macro_mae,
 )
+from pmf_tpu.eval.recommend import recommend

@@ -248,6 +248,19 @@ class FactorModel:
             val = shard_eval_set(val, mesh)
         return data, state, val
 
+    def recommend(self, user_ids, k: int = 10, train=None, batch: int = 1024):
+        """Top-k unseen-item recommendations per user (the serving path —
+        beyond the reference, which only scores explicit pairs).  ``train``:
+        optional ratings container whose (u, i) pairs are excluded from the
+        candidates.  Returns (items, scores), each (len(user_ids), k)."""
+        from pmf_tpu.eval.recommend import recommend as _rec
+
+        theta, beta = self._point_estimates()
+        tu = ti = None
+        if train is not None:
+            tu, ti, _ = as_triples(train)
+        return _rec(theta, beta, user_ids, k=k, train_u=tu, train_i=ti, batch=batch)
+
     def predict(self, user_ids, item_ids) -> np.ndarray:
         """Out-of-range (unseen) pairs predict 0, matching the reference
         (`/root/reference/src/models/poisson_mf_cavi.py:221-241`)."""

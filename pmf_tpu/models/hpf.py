@@ -53,10 +53,11 @@ class HPFConfig:
     random_state: int = 42
     verbose: bool = True
     dtype: str = "float32"
-    # Sweep engine: "flat" = XLA gather/scatter; "blocked_high" /
-    # "blocked_fast" = Pallas one-hot-matmul kernel (high: ~f32-exact,
-    # fast: single-pass bf16 MXU, ~5e-3 stat noise); "auto" = blocked_high
-    # on TPU, flat elsewhere.
+    # Sweep engine: "flat" = XLA gather/scatter; "flat_chunked" = same
+    # math scanned over edge chunks (stays inside HBM at any nnz, exact);
+    # "blocked_high" / "blocked_fast" = Pallas one-hot-matmul kernel
+    # (high: ~f32-exact, fast: single-pass bf16 MXU, ~5e-3 stat noise);
+    # "auto" = blocked_high on TPU, flat elsewhere.
     engine: str = "auto"
 
 
@@ -140,6 +141,98 @@ def sweep(
     E_beta = a_beta / b_beta
 
     # -- eta block: rate-only update d' + sum_k E[beta_ik] --
+    b_eta = d_prime + jnp.sum(E_beta, axis=1)
+
+    return {
+        "a_theta": a_theta,
+        "b_theta": b_theta,
+        "a_beta": a_beta,
+        "b_beta": b_beta,
+        "b_xi": b_xi,
+        "b_eta": b_eta,
+    }
+
+
+def _hpf_factor_block_chunked(
+    E_self, E_other, E_rate_prior, self_ids, other_ids, x, counts, shape0,
+    n_self, chunk_len: int,
+):
+    """Memory-bounded variant of :func:`_hpf_factor_block`: lax.scan over
+    edge chunks, accumulating the two segment statistics, so no (nnz, K)
+    intermediate is ever materialized (the unchunked flat engine OOMs HBM
+    at 25M edges: 24.1G needed vs 15.75G)."""
+    dtype = E_self.dtype
+    K = E_self.shape[1]
+    n = self_ids.shape[0]
+    pad = (-n) % chunk_len
+    if pad:
+        self_ids = jnp.pad(self_ids, (0, pad), constant_values=n_self)
+        other_ids = jnp.pad(other_ids, (0, pad), constant_values=E_other.shape[0])
+        x = jnp.pad(x, (0, pad))
+    n_chunks = self_ids.shape[0] // chunk_len
+    sl = (
+        self_ids.reshape(n_chunks, chunk_len),
+        other_ids.reshape(n_chunks, chunk_len),
+        x.reshape(n_chunks, chunk_len),
+    )
+
+    def body(carry, chunk):
+        s_alloc, s_other = carry
+        cs, co, cx = chunk
+        self_rows = gather_rows(E_self, cs)
+        other_rows = gather_rows(E_other, co)
+        rate = jnp.maximum(edge_dot(self_rows, other_rows),
+                           jnp.asarray(RATE_FLOOR, dtype))
+        alloc = (cx / rate)[:, None] * self_rows * other_rows
+        s_alloc = s_alloc + sorted_segment_sum(alloc, cs, n_self)
+        s_other = s_other + sorted_segment_sum(other_rows, cs, n_self)
+        return (s_alloc, s_other), None
+
+    zeros = jnp.zeros((n_self, K), dtype)
+    (s_alloc, s_other), _ = jax.lax.scan(body, (zeros, zeros), sl)
+    a_new = shape0 + s_alloc
+    b_new = E_rate_prior[:, None] + s_other
+    has = (counts > 0)[:, None]
+    a_out = jnp.where(has, a_new, jnp.asarray(shape0, dtype))
+    b_out = jnp.where(has, b_new, E_rate_prior[:, None])
+    return a_out, b_out
+
+
+@partial(jax.jit, static_argnames=("chunk_len",))
+def sweep_chunked(
+    state: dict,
+    data: RatingsCOO,
+    a: float,
+    a_prime: float,
+    b_prime: float,
+    c: float,
+    c_prime: float,
+    d_prime: float,
+    chunk_len: int = 1 << 20,
+) -> dict:
+    """Same iteration as :func:`sweep` with edge passes scanned in chunks
+    (engine="flat_chunked"): the XLA path that stays inside HBM at any nnz."""
+    K = state["a_theta"].shape[1]
+    a_xi = a_prime + K * a
+    a_eta = c_prime + K * c
+
+    E_theta = state["a_theta"] / state["b_theta"]
+    E_beta = state["a_beta"] / state["b_beta"]
+    E_xi = a_xi / state["b_xi"]
+    E_eta = a_eta / state["b_eta"]
+
+    a_theta, b_theta = _hpf_factor_block_chunked(
+        E_theta, E_beta, E_xi, data.u_by_u, data.i_by_u, data.x_by_u,
+        data.user_counts, a, data.n_users, chunk_len,
+    )
+    E_theta = a_theta / b_theta
+    b_xi = b_prime + jnp.sum(E_theta, axis=1)
+
+    a_beta, b_beta = _hpf_factor_block_chunked(
+        E_beta, E_theta, E_eta, data.i_by_i, data.u_by_i, data.x_by_i,
+        data.item_counts, c, data.n_items, chunk_len,
+    )
+    E_beta = a_beta / b_beta
     b_eta = d_prime + jnp.sum(E_beta, axis=1)
 
     return {
@@ -266,6 +359,10 @@ class HPF(FactorModel):
                     s, blocked, d.user_counts, d.item_counts, *hyper,
                     precision=precision, interpret=interpret, mesh=mesh,
                 )
+        elif engine == "flat_chunked":
+
+            def sweep_fn(s, d):
+                return sweep_chunked(s, d, *hyper)
         else:
 
             def sweep_fn(s, d):

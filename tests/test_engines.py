@@ -107,3 +107,18 @@ def test_poisson_engines_agree(small_splits):
             np.asarray(flat.state[k]), np.asarray(blocked.state[k]),
             rtol=5e-4, atol=1e-5, err_msg=k,
         )
+
+
+def test_hpf_chunked_flat_matches_flat(small_splits):
+    """engine='flat_chunked' (lax.scan over edge chunks, no (nnz, K)
+    intermediates) matches the plain flat sweep exactly."""
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1), (vu, vi, vx + 1)
+    base = dict(n_factors=6, max_iter=4, tol=None, verbose=False, dtype="float64")
+    flat = _fit(HPF, HPFConfig(engine="flat", **base), train, val)
+    chunked = _fit(HPF, HPFConfig(engine="flat_chunked", **base), train, val)
+    for k in flat.state:
+        np.testing.assert_allclose(
+            np.asarray(flat.state[k]), np.asarray(chunked.state[k]),
+            rtol=1e-12, atol=0, err_msg=k,
+        )

@@ -65,3 +65,49 @@ def test_ranking_perfect_model():
                           test_u, test_i, ks=(1,))
     assert got["recall@1"] == 1.0
     assert got["ndcg@1"] == 1.0
+
+
+def test_recommend_matches_dense_oracle(small_splits):
+    """recommend() matches a dense numpy argsort oracle with train-item
+    exclusion, across batch boundaries."""
+    import numpy as np
+
+    from pmf_tpu.eval.recommend import recommend
+
+    (tu, ti, tx), _, _ = small_splits
+    rng = np.random.default_rng(3)
+    n_users, n_items, K = int(tu.max()) + 1, int(ti.max()) + 1, 6
+    theta = rng.standard_normal((n_users, K)).astype(np.float32)
+    beta = rng.standard_normal((n_items, K)).astype(np.float32)
+
+    users = rng.choice(n_users, size=37, replace=False)
+    k = 5
+    items, scores = recommend(theta, beta, users, k=k, train_u=tu, train_i=ti,
+                              batch=16)
+
+    dense = theta @ beta.T
+    for u_idx, u in enumerate(users):
+        s = dense[u].copy()
+        s[ti[tu == u]] = -np.inf
+        want = np.argsort(-s, kind="stable")[:k]
+        np.testing.assert_allclose(
+            np.sort(s[want])[::-1], np.sort(scores[u_idx])[::-1], rtol=1e-5,
+            err_msg=f"user {u}",
+        )
+        # item sets match (ties may reorder)
+        assert set(items[u_idx]) == set(want) or np.allclose(
+            np.sort(s[want]), np.sort(s[items[u_idx]]), rtol=1e-5
+        )
+        # no train item leaked
+        assert not set(items[u_idx]) & set(ti[tu == u])
+
+
+def test_model_recommend_facade(small_splits):
+    from pmf_tpu.models.hpf import HPF, HPFConfig
+
+    (tu, ti, tx), _, _ = small_splits
+    m = HPF(HPFConfig(n_factors=5, max_iter=2, tol=None, verbose=False)).fit(
+        (tu, ti, tx + 1))
+    items, scores = m.recommend([0, 1, 2], k=4, train=(tu, ti, tx))
+    assert items.shape == (3, 4) and scores.shape == (3, 4)
+    assert (np.diff(scores, axis=1) <= 1e-6).all()  # descending
