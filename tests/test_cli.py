@@ -133,3 +133,29 @@ def test_tune_multi_seed_trials(tmp_path, monkeypatch):
     assert cfg_io.HPF_CAVI_KEY in results
     # The winning seed landed in the config.
     assert results[cfg_io.HPF_CAVI_KEY].random_state in (0, 1, 2)
+
+
+def test_recommend_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    import pandas as pd
+
+    from pmf_tpu.cli.recommend import main as rec_main
+    from pmf_tpu.data.synthetic import synth_ratings
+    from pmf_tpu.models.hpf import HPF, HPFConfig
+    from pmf_tpu.utils.checkpoint import save_model
+
+    u, i, x = synth_ratings(200, 150, 3000, seed=4)
+    m = HPF(HPFConfig(n_factors=5, max_iter=2, tol=None, verbose=False)).fit(
+        (u, i, x + 1))
+    save_model(m, str(tmp_path / "ck"))
+    pd.DataFrame({"u": u, "i": i, "rating": x}).to_csv(tmp_path / "train.csv",
+                                                       index=False)
+    rows = rec_main(["--checkpoint", str(tmp_path / "ck"), "--users", "0", "1",
+                     "--k", "4", "--train", str(tmp_path / "train.csv"),
+                     "--out", str(tmp_path / "rec.csv")])
+    assert len(rows) == 8
+    got = pd.read_csv(tmp_path / "rec.csv")
+    assert set(got.columns) == {"u", "rank", "i", "score"}
+    # user 0's train items excluded
+    train0 = set(i[u == 0])
+    assert not set(got[got["u"] == 0]["i"]) & train0
