@@ -542,6 +542,23 @@ class GaussianMF(FactorModel):
         self.fit_history = loop.history
         return self
 
+    def elbo(self, train) -> float:
+        """Exact mean-field ELBO on (centered) training ratings — the
+        objective this model's CAVI sweep ascends (see pmf_tpu.eval.elbo);
+        beyond the reference, which never computes its objective."""
+        import jax.numpy as jnp
+
+        from pmf_tpu.eval.elbo import gaussian_elbo
+
+        u, i, x = as_triples(train)
+        cfg = self.config
+        return float(gaussian_elbo(
+            self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
+            jnp.asarray(x, self.state["m_theta"].dtype),
+            cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
+            use_bias=cfg.use_bias, covariance=cfg.covariance,
+        ))
+
     # -- predictions ------------------------------------------------------
     def _point_estimates(self):
         return self.state["m_theta"], self.state["m_beta"]

@@ -387,6 +387,23 @@ class HPF(FactorModel):
         self.fit_history = loop.history
         return self
 
+    def elbo(self, train) -> float:
+        """Auxiliary-variable ELBO (optimal allocations) incl. the
+        hierarchical xi/eta terms (see pmf_tpu.eval.elbo).  ``train``
+        must be on the +1-shifted scale used by fit()."""
+        import jax.numpy as jnp
+
+        from pmf_tpu.eval.elbo import hpf_elbo
+
+        u, i, x = as_triples(train)
+        cfg = self.config
+        dt = self.state["a_theta"].dtype
+        return float(hpf_elbo(
+            self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
+            jnp.asarray(x, dt), cfg.a, cfg.a_prime, cfg.b_prime,
+            cfg.c, cfg.c_prime, cfg.d_prime,
+        ))
+
     def _point_estimates(self):
         return (
             self.state["a_theta"] / self.state["b_theta"],

@@ -396,6 +396,21 @@ class PoissonMF(FactorModel):
         self.fit_history = loop.history
         return self
 
+    def elbo(self, train) -> float:
+        """Auxiliary-variable ELBO at the optimal per-edge allocations
+        (see pmf_tpu.eval.elbo)."""
+        import jax.numpy as jnp
+
+        from pmf_tpu.eval.elbo import poisson_elbo
+
+        u, i, x = as_triples(train)
+        dt = self.state["a_theta"].dtype
+        return float(poisson_elbo(
+            self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
+            jnp.asarray(x, dt), self.config.a0, self.config.b0,
+            extended=self.config.extended,
+        ))
+
     def _point_estimates(self):
         return (
             self.state["a_theta"] / self.state["b_theta"],
