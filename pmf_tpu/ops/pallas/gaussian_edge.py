@@ -119,17 +119,18 @@ def _factor_kernel(
             jnp.dot(onehot_og, aug_refs[g][:], preferred_element_type=jnp.float32,
                     precision=prec)
         )
-    g_aug = _recombine(jnp.concatenate(g_parts, axis=0), w, parts)  # (G*C, w) f32
+    # NOTE: a pass-through-parts variant (scattering the gathered bf16 part
+    # columns directly, skipping the recombine -> re-decompose round-trip)
+    # measured 7% SLOWER here: extracting the per-part [m | triA] sections
+    # requires strided lane slices at non-128 boundaries, and the cross-lane
+    # shuffles cost more than the decompose they save.  Contiguous full
+    # recombine + decompose stays.
+    g_aug = _recombine(jnp.concatenate(g_parts, axis=0), w, parts)  # (G*C, w)
     m_e = g_aug[:, :k]
     if use_bias:
         resid = xv - g_aug[:, k + T : k + T + 1]
     else:
         resid = xv
-
-    # [m*resid | m pass-through | triA pass-through]; padding edges have
-    # all-zero one-hot rows, so they contribute nothing regardless of resid.
-    payload = jnp.concatenate([m_e * resid, m_e, g_aug[:, k : k + T]], axis=1)
-    payload_in = payload if highest else decompose_bf16(payload, parts)
 
     c = pl.program_id(0)
     prev_sb = sb_ref[jnp.maximum(G * c - G, 0)]
@@ -138,6 +139,10 @@ def _factor_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # [m*resid | m pass-through | triA pass-through]; padding edges have
+    # all-zero one-hot rows, so they contribute nothing regardless of resid.
+    payload = jnp.concatenate([m_e * resid, m_e, g_aug[:, k : k + T]], axis=1)
+    payload_in = payload if highest else decompose_bf16(payload, parts)
     contract = (((0,), (0,)), ((), ()))
     seg = jax.lax.dot_general(
         onehot_s, payload_in, contract, preferred_element_type=jnp.float32,
@@ -182,9 +187,7 @@ def _bias_kernel(
             jnp.dot(onehot_og, aug_refs[g][:], preferred_element_type=jnp.float32,
                     precision=prec)
         )
-    g_aug = _recombine(jnp.concatenate(g_parts, axis=0), k + 1, parts)  # [m | b]
-    payload = jnp.concatenate([g_aug, xv], axis=1)  # (G*C, K+2)
-    payload_in = payload if highest else decompose_bf16(payload, parts)
+    gcat = jnp.concatenate(g_parts, axis=0)  # (G*C, parts*(K+1)) part columns
 
     c = pl.program_id(0)
     prev_sb = sb_ref[jnp.maximum(G * c - G, 0)]
@@ -193,12 +196,26 @@ def _bias_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # Payload = [m | b (both pure pass-through part columns) | x (computed,
+    # decomposed)].
     contract = (((0,), (0,)), ((), ()))
+    if highest:
+        payload_in = jnp.concatenate(
+            [_recombine(gcat, k + 1, parts), xv], axis=1)
+    else:
+        payload_in = jnp.concatenate(
+            [gcat.astype(jnp.bfloat16), decompose_bf16(xv, parts)], axis=1)
     seg = jax.lax.dot_general(
         onehot_s, payload_in, contract, preferred_element_type=jnp.float32,
         precision=prec,
     )
-    out_ref[:] += _recombine(seg, k + 2, 1 if highest else parts)
+    if highest:
+        out_ref[:] += seg
+    else:
+        pw = parts * (k + 1)
+        mb = _recombine(seg[:, :pw], k + 1, parts)
+        xs = _recombine(seg[:, pw:], 1, parts)
+        out_ref[:] += jnp.concatenate([mb, xs], axis=1)
 
 
 def _diag_kernel(
