@@ -59,6 +59,12 @@ def _kl_gaussian_diag(m, v, eta2):
     return 0.5 * jnp.sum(v / eta2 + m * m / eta2 - 1.0 + jnp.log(eta2) - jnp.log(v))
 
 
+def _auto_chunks(nnz: int, width: int) -> int:
+    """Chunk count keeping per-chunk gathered intermediates ~<= 64 MB."""
+    per_chunk = max((1 << 24) // max(width, 1), 1 << 12)
+    return max(8, -(-nnz // per_chunk))
+
+
 @partial(jax.jit, static_argnames=("use_bias", "covariance", "n_chunks"))
 def gaussian_elbo(
     state: dict,

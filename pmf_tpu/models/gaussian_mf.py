@@ -548,15 +548,17 @@ class GaussianMF(FactorModel):
         beyond the reference, which never computes its objective."""
         import jax.numpy as jnp
 
-        from pmf_tpu.eval.elbo import gaussian_elbo
+        from pmf_tpu.eval.elbo import _auto_chunks, gaussian_elbo
 
         u, i, x = as_triples(train)
         cfg = self.config
+        width = cfg.n_factors ** 2 if cfg.covariance == "full" else cfg.n_factors
         return float(gaussian_elbo(
             self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
             jnp.asarray(x, self.state["m_theta"].dtype),
             cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
             use_bias=cfg.use_bias, covariance=cfg.covariance,
+            n_chunks=_auto_chunks(len(u), width),
         ))
 
     # -- predictions ------------------------------------------------------

@@ -393,7 +393,7 @@ class HPF(FactorModel):
         must be on the +1-shifted scale used by fit()."""
         import jax.numpy as jnp
 
-        from pmf_tpu.eval.elbo import hpf_elbo
+        from pmf_tpu.eval.elbo import _auto_chunks, hpf_elbo
 
         u, i, x = as_triples(train)
         cfg = self.config
@@ -402,6 +402,7 @@ class HPF(FactorModel):
             self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
             jnp.asarray(x, dt), cfg.a, cfg.a_prime, cfg.b_prime,
             cfg.c, cfg.c_prime, cfg.d_prime,
+            n_chunks=_auto_chunks(len(u), cfg.n_factors),
         ))
 
     def _point_estimates(self):

@@ -401,7 +401,7 @@ class PoissonMF(FactorModel):
         (see pmf_tpu.eval.elbo)."""
         import jax.numpy as jnp
 
-        from pmf_tpu.eval.elbo import poisson_elbo
+        from pmf_tpu.eval.elbo import _auto_chunks, poisson_elbo
 
         u, i, x = as_triples(train)
         dt = self.state["a_theta"].dtype
@@ -409,6 +409,7 @@ class PoissonMF(FactorModel):
             self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
             jnp.asarray(x, dt), self.config.a0, self.config.b0,
             extended=self.config.extended,
+            n_chunks=_auto_chunks(len(u), self.config.n_factors),
         ))
 
     def _point_estimates(self):
