@@ -104,21 +104,36 @@ class FitLoop:
             return self._run(state, data, val, _time)
 
     def _run(self, state, data: RatingsCOO, val: Optional[EvalSet], _time):
+        """Pipelined driver: the NEXT sweep is dispatched speculatively
+        before the host synchronizes this iteration's validation scalar, so
+        the device keeps working through the host round-trip (~26 ms/iter
+        on the axon tunnel; any nonzero latency on real hosts).  Early-stop
+        semantics are IDENTICAL to the sequential loop — the returned state
+        is the one the stop decision was made on; at most one speculative
+        sweep's compute is discarded when stopping."""
         prev_val_rmse = None
+        with jax.profiler.StepTraceAnnotation(self.name, step_num=1):
+            state = self.sweep_fn(state, data)  # iteration 1 dispatch
+        t0 = _time.perf_counter()
         for it in range(1, self.max_iter + 1):
-            t0 = _time.perf_counter()
-            with jax.profiler.StepTraceAnnotation(self.name, step_num=it):
-                state = self.sweep_fn(state, data)
-            self._maybe_checkpoint(state, it)
+            cur = state
+            self._maybe_checkpoint(cur, it)
             record = {"iteration": it, "iter_seconds": None}
             if val is not None and self.eval_fn is not None:
-                val_rmse, val_macro = self.eval_fn(state, val)
+                val_rmse, val_macro = self.eval_fn(cur, val)
+                if it < self.max_iter:
+                    # Speculative dispatch: runs on-device while the host
+                    # waits for the eval scalar below.
+                    with jax.profiler.StepTraceAnnotation(self.name,
+                                                          step_num=it + 1):
+                        state = self.sweep_fn(cur, data)
                 val_rmse = float(val_rmse)  # device sync point
                 record.update(
                     val_rmse=val_rmse,
                     val_macro_mae=float(val_macro),
                     iter_seconds=_time.perf_counter() - t0,
                 )
+                t0 = _time.perf_counter()
                 if self.edge_visits_per_iter:
                     record["updates_per_sec"] = (
                         self.edge_visits_per_iter / record["iter_seconds"]
@@ -138,10 +153,16 @@ class FitLoop:
                 ):
                     if self.verbose:
                         print("Early stopping on validation improvement.", flush=True)
-                    break
+                    # The speculative sweep past the stop point is discarded.
+                    return cur
                 prev_val_rmse = val_rmse
             else:
+                if it < self.max_iter:
+                    with jax.profiler.StepTraceAnnotation(self.name,
+                                                          step_num=it + 1):
+                        state = self.sweep_fn(cur, data)
                 record["iter_seconds"] = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 if self.edge_visits_per_iter:
                     record["updates_per_sec"] = (
                         self.edge_visits_per_iter / record["iter_seconds"]
