@@ -37,3 +37,20 @@ def test_hpf_converges(small_splits):
     assert np.isfinite(rmses).all()
     assert rmses[-1] <= rmses[0]
     assert (model.predict(vu, vi) >= 0).all()
+
+
+def test_fit_profile_dir_writes_trace(tmp_path, small_splits):
+    """fit(profile_dir=...) captures a jax.profiler trace (SURVEY §5.1 —
+    the reference only ever logged wall-clock)."""
+    import os
+
+    from pmf_tpu.models.hpf import HPF, HPFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    prof = str(tmp_path / "trace")
+    HPF(HPFConfig(n_factors=4, max_iter=2, tol=None, verbose=False)).fit(
+        (tu, ti, tx + 1), (vu, vi, vx + 1), profile_dir=prof)
+    found = []
+    for root, _, files in os.walk(prof):
+        found += [f for f in files if f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))]
+    assert found, f"no trace files under {prof}"
