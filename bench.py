@@ -142,7 +142,72 @@ def bench_hpf(u, i, x, n_users, n_items, nnz, K, iters, rtt):
         else:
             print(f"# hpf {engine}: {results[engine]/1e6:.0f}M updates/s",
                   file=sys.stderr)
-    return results, failures
+    return results, failures, blocked, flat
+
+
+def bench_ext_poisson(blocked, flat, nnz, K, iters, rtt):
+    """Extended Poisson on the HPF run's blocked layout (same layout)."""
+    import numpy as np
+
+    from pmf_tpu.models import poisson_mf
+
+    cfg = poisson_mf.PoissonMFConfig(n_factors=K, extended=True, verbose=False)
+    state0 = poisson_mf.init_state(
+        int(flat.n_users), int(flat.n_items), cfg)
+    import jax.numpy as jnp
+
+    u_host = np.asarray(flat.u_by_u)
+    x_host = np.asarray(flat.x_by_u)
+    i_host = np.asarray(flat.i_by_i)
+    xi_host = np.asarray(flat.x_by_i)
+    sx_user = jnp.asarray(np.bincount(
+        u_host, weights=x_host, minlength=flat.n_users + 1)[: flat.n_users],
+        jnp.float32)
+    sx_item = jnp.asarray(np.bincount(
+        i_host, weights=xi_host, minlength=flat.n_items + 1)[: flat.n_items],
+        jnp.float32)
+
+    def step(s):
+        return poisson_mf.sweep_blocked_extended(
+            s, blocked, flat.user_counts, flat.item_counts,
+            sx_user, sx_item, cfg.a0, cfg.b0, precision="high")
+
+    try:
+        dt = _time_chained(step, dict(state0), iters, rtt)
+        out = {"updates_per_sec_4pass": round(4.0 * nnz / dt, 1),
+               "iter_seconds": round(dt, 4)}
+        print(f"# ext-poisson blocked_high: {4*nnz/dt/1e6:.0f}M edge-visits/s "
+              f"(4 kernel passes/iter; {dt:.3f}s)", file=sys.stderr)
+    except Exception as e:
+        out = {"failure": classify_failure(e)}
+        print(f"# ext-poisson failed: {str(e)[:140]}", file=sys.stderr)
+    return out
+
+
+def bench_gaussian_diag(blocked, flat, nnz, K, iters, rtt):
+    """Diag-covariance Gaussian on the Gaussian run's blocked layout."""
+    from pmf_tpu.models import gaussian_mf
+
+    cfg = gaussian_mf.GaussianMFConfig(n_factors=K, covariance="diag",
+                                       verbose=False)
+    state0 = gaussian_mf.init_state(int(flat.n_users), int(flat.n_items), cfg)
+
+    def step(s):
+        return gaussian_mf.sweep_blocked(
+            s, blocked, flat.user_counts, flat.item_counts,
+            cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
+            True, precision="high", covariance="diag")
+
+    try:
+        dt = _time_chained(step, dict(state0), iters, rtt)
+        out = {"updates_per_sec_4block": round(4.0 * nnz / dt, 1),
+               "iter_seconds": round(dt, 4)}
+        print(f"# gaussian-diag blocked_high: {4*nnz/dt/1e6:.0f}M updates/s "
+              f"({dt:.3f}s/iter)", file=sys.stderr)
+    except Exception as e:
+        out = {"failure": classify_failure(e)}
+        print(f"# gaussian-diag failed: {str(e)[:140]}", file=sys.stderr)
+    return out
 
 
 def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
@@ -161,6 +226,7 @@ def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
     out = {"updates_per_sec_4block": None, "updates_per_sec_factor_only": None,
            "iter_seconds": None, "tiles": f"B={block} C={chunk} G={group}",
            "engines_updates_per_sec_4block": {}}
+    out["_layout"] = (blocked, flat)
     for prec in ("high", "mid", "fast"):
         def step(s, p=prec):
             return gaussian_mf.sweep_blocked(
@@ -201,10 +267,13 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
     rtt = measure_transfer_rtt()
 
     u, i, x = synth(n_users, n_items, nnz)
-    hpf_results, hpf_failures = bench_hpf(u, i, x, n_users, n_items, nnz, K,
-                                          iters, rtt)
+    hpf_results, hpf_failures, h_blocked, h_flat = bench_hpf(
+        u, i, x, n_users, n_items, nnz, K, iters, rtt)
+    ext = bench_ext_poisson(h_blocked, h_flat, nnz, K, iters, rtt)
     xg = np.random.default_rng(1).standard_normal(nnz).astype(np.float32)
     g = bench_gaussian(u, i, xg, n_users, n_items, nnz, K, iters, rtt)
+    g_blocked, g_flat = g.pop("_layout")
+    gdiag = bench_gaussian_diag(g_blocked, g_flat, nnz, K, iters, rtt)
 
     value = hpf_results["blocked_high"]
     gval = g.get("updates_per_sec_4block")
@@ -244,6 +313,8 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
                     },
                     "hpf_engine_failures": hpf_failures,
                     "gaussian_blocked_high": g,
+                    "gaussian_diag_blocked_high": gdiag,
+                    "extended_poisson_blocked_high": ext,
                     "engine_stat_error": {
                         "blocked_high": "~3e-7 HPF (bf16x3) / ~2e-5 Gaussian (bf16x2)",
                         "blocked_mid": "~2e-5",
