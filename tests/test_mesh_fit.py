@@ -137,3 +137,20 @@ def test_gaussian_blocked_engine_mesh_segments(small_ratings, mesh8):
                                 precision="high", interpret=True, mesh=mesh8)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_hpf_blocked_engine_full_fit_on_mesh(small_splits, mesh8):
+    """fit(mesh=...) with the Pallas blocked engine (interpret on CPU):
+    sharded segment scans + sharded eval + early stopping, matching the
+    single-device blocked fit."""
+    from pmf_tpu.models.hpf import HPF, HPFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1), (vu, vi, vx + 1)
+    cfg = dict(n_factors=5, max_iter=4, tol=None, verbose=False,
+               dtype="float32", engine="blocked_high")
+
+    single = HPF(HPFConfig(**cfg)).fit(train, val)
+    meshed = HPF(HPFConfig(**cfg)).fit(train, val, mesh=mesh8)
+    assert len(single.fit_history) == len(meshed.fit_history)
+    _assert_states_match(single.state, meshed.state, rtol=1e-5, atol=1e-6)
