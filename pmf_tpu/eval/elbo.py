@@ -243,17 +243,9 @@ def hpf_elbo(state, u, i, x, a: float, a_prime: float, b_prime: float,
         c_prime * jnp.log(d_prime) + (c_prime - 1.0) * Elog_eta
         - d_prime * E_eta - gammaln(c_prime)
     )
-    # -E log q for the Gamma factors (entropy-style form in terms of Elog):
-    q_theta = jnp.sum(
-        a_t * jnp.log(b_t) - gammaln(a_t) + (a_t - 1.0) * Elog_t - a_t
+    # + Gamma entropies (-E log q) for all four variational factor groups.
+    return (
+        ll + p_theta + p_beta + p_xi + p_eta
+        + gamma_entropy(a_t, b_t) + gamma_entropy(a_b, b_b)
+        + gamma_entropy(a_xi, b_xi) + gamma_entropy(a_eta, b_eta)
     )
-    q_beta = jnp.sum(
-        a_b * jnp.log(b_b) - gammaln(a_b) + (a_b - 1.0) * Elog_b - a_b
-    )
-    q_xi = jnp.sum(
-        a_xi * jnp.log(b_xi) - gammaln(a_xi) + (a_xi - 1.0) * Elog_xi - a_xi
-    )
-    q_eta = jnp.sum(
-        a_eta * jnp.log(b_eta) - gammaln(a_eta) + (a_eta - 1.0) * Elog_eta - a_eta
-    )
-    return ll + p_theta + p_beta + p_xi + p_eta - (q_theta + q_beta + q_xi + q_eta)

@@ -111,6 +111,8 @@ class FitLoop:
         semantics are IDENTICAL to the sequential loop — the returned state
         is the one the stop decision was made on; at most one speculative
         sweep's compute is discarded when stopping."""
+        if self.max_iter <= 0:
+            return state
         prev_val_rmse = None
         with jax.profiler.StepTraceAnnotation(self.name, step_num=1):
             state = self.sweep_fn(state, data)  # iteration 1 dispatch
@@ -161,6 +163,11 @@ class FitLoop:
                     with jax.profiler.StepTraceAnnotation(self.name,
                                                           step_num=it + 1):
                         state = self.sweep_fn(cur, data)
+                # No eval forces a sync here; wait for this iteration's
+                # sweep so iter_seconds/updates_per_sec measure compute,
+                # not async dispatch (sweeps are chained, so cur completes
+                # exactly when sweep `it` does).
+                jax.block_until_ready(cur)
                 record["iter_seconds"] = _time.perf_counter() - t0
                 t0 = _time.perf_counter()
                 if self.edge_visits_per_iter:
@@ -269,6 +276,12 @@ class FactorModel:
             val = shard_eval_set(val, mesh)
         return data, state, val
 
+    def _score_offsets(self):
+        """(user_bias, item_bias, mean) additive score terms for serving.
+        Models whose predict() is not a pure dot product (the Gaussian bias
+        variant) override this so recommend() ranks by the same score."""
+        return None, None, 0.0
+
     def recommend(self, user_ids, k: int = 10, train=None, batch: int = 1024):
         """Top-k unseen-item recommendations per user (the serving path —
         beyond the reference, which only scores explicit pairs).  ``train``:
@@ -277,10 +290,13 @@ class FactorModel:
         from pmf_tpu.eval.recommend import recommend as _rec
 
         theta, beta = self._point_estimates()
+        user_bias, item_bias, mean = self._score_offsets()
         tu = ti = None
         if train is not None:
             tu, ti, _ = as_triples(train)
-        return _rec(theta, beta, user_ids, k=k, train_u=tu, train_i=ti, batch=batch)
+        return _rec(theta, beta, user_ids, k=k, train_u=tu, train_i=ti,
+                    batch=batch, item_bias=item_bias, user_bias=user_bias,
+                    mean=mean)
 
     def predict(self, user_ids, item_ids) -> np.ndarray:
         """Out-of-range (unseen) pairs predict 0, matching the reference

@@ -67,10 +67,9 @@ class GaussianMFConfig:
     # (SURVEY.md §7 "Gaussian covariance memory").  Diag mode stores V as
     # (rows, K).
     covariance: str = "full"
-    # Blocked-engine tile sizes (None -> tuned defaults).  The Gaussian
-    # payload is K(K+1)/2-wide, so per-edge MXU cost scales with the block
-    # size; 256-row blocks measure fastest at ML-25M density (vs the HPF
-    # kernel's 512).
+    # Blocked-engine tile sizes (None -> tuned defaults: 512-row blocks,
+    # 128-edge chunks, groups of 8 — the fastest setting in the ML-25M tile
+    # scan, docs/PERFORMANCE.md; 256-row blocks lose ~6% to padding).
     block_size: Optional[int] = None
     chunk_size: Optional[int] = None
     group: Optional[int] = None
@@ -564,6 +563,17 @@ class GaussianMF(FactorModel):
     # -- predictions ------------------------------------------------------
     def _point_estimates(self):
         return self.state["m_theta"], self.state["m_beta"]
+
+    def _score_offsets(self):
+        """Serving scores must match predict(): with biases the ranking
+        depends on b_item, and the reported score includes mean + b_user."""
+        if not self.config.use_bias:
+            return None, None, float(getattr(self, "global_mean", 0.0))
+        return (
+            self.state["b_user"],
+            self.state["b_item"],
+            float(getattr(self, "global_mean", 0.0)),
+        )
 
     def predict(self, user_ids, item_ids, global_mean: float = 0.0) -> np.ndarray:
         u = np.asarray(user_ids, dtype=np.int64)

@@ -277,7 +277,6 @@ def sweep_blocked_extended(
 
     E_theta = state["a_theta"] / state["b_theta"]
     E_beta = state["a_beta"] / state["b_beta"]
-    E_phi = state["a_phi"] / state["b_phi"]
     E_psi = state["a_psi"] / state["b_psi"]
 
     a_theta, b_theta, a_phi, b_phi = block(

@@ -34,7 +34,7 @@ def main():
     u = rng.choice(n_users, size=nnz, p=uw).astype(np.int64)
     i = rng.choice(n_items, size=nnz, p=iw).astype(np.int64)
     u[:n_users] = np.arange(n_users)
-    i[:n_items % nnz] = np.arange(n_items)[: nnz % n_items] if n_items > nnz else np.arange(n_items)
+    i[:n_items] = np.arange(n_items)  # every item observed at least once
     x = (1.0 + rng.integers(0, 5, size=nnz)).astype(np.float32)
 
     flat = build_ratings(u, i, x, n_users=n_users, n_items=n_items)

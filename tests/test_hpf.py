@@ -54,3 +54,19 @@ def test_fit_profile_dir_writes_trace(tmp_path, small_splits):
     for root, _, files in os.walk(prof):
         found += [f for f in files if f.endswith((".pb", ".json.gz", ".trace.json.gz", ".xplane.pb"))]
     assert found, f"no trace files under {prof}"
+
+
+def test_fit_max_iter_zero_applies_no_sweep(small_splits):
+    """max_iter=0 must leave the (fresh or resumed) state untouched —
+    regression for the pipelined FitLoop's speculative first dispatch."""
+    from pmf_tpu.models.hpf import HPF, HPFConfig, init_state
+
+    (tu, ti, tx), _, _ = small_splits
+    cfg = HPFConfig(n_factors=5, max_iter=0, tol=None, verbose=False,
+                    engine="flat")
+    m = HPF(cfg).fit((tu, ti, tx + 1))
+    fresh = init_state(m.n_users, m.n_items, cfg)
+    for key, val in fresh.items():
+        np.testing.assert_array_equal(np.asarray(m.state[key]),
+                                      np.asarray(val), err_msg=key)
+    assert m.fit_history == []

@@ -111,3 +111,45 @@ def test_model_recommend_facade(small_splits):
     items, scores = m.recommend([0, 1, 2], k=4, train=(tu, ti, tx))
     assert items.shape == (3, 4) and scores.shape == (3, 4)
     assert (np.diff(scores, axis=1) <= 1e-6).all()  # descending
+
+
+def test_recommend_ranks_with_item_bias(small_splits):
+    """The Gaussian bias model's recommend() must rank by the SAME score
+    its predict() reports (b_item participates in ranking; mean + b_user
+    shift the reported scores) — regression for the serving path dropping
+    learned biases."""
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+
+    (tu, ti, tx), _, _ = small_splits
+    mean = float(np.mean(tx))
+    m = GaussianMF(
+        GaussianMFConfig(n_factors=4, max_iter=3, tol=None, verbose=False,
+                         engine="flat")
+    ).fit((tu, ti, tx - mean), global_mean=mean)
+    assert np.abs(np.asarray(m.state["b_item"])).max() > 0  # biases learned
+
+    users = np.arange(5)
+    k = 4
+    items, scores = m.recommend(users, k=k)
+    for r, u in enumerate(users):
+        s = m.predict(np.full(m.n_items, u), np.arange(m.n_items),
+                      global_mean=mean)
+        want = np.argsort(-s, kind="stable")[:k]
+        np.testing.assert_allclose(np.sort(s[want])[::-1], scores[r],
+                                   rtol=1e-4, atol=1e-4)
+        same = set(items[r]) == set(want)
+        assert same or np.allclose(np.sort(s[items[r]]), np.sort(s[want]),
+                                   atol=1e-5)
+
+
+def test_recommend_out_of_range_user_raises():
+    import pytest
+
+    from pmf_tpu.eval.recommend import recommend
+
+    theta = np.zeros((10, 3), np.float32)
+    beta = np.zeros((8, 3), np.float32)
+    with pytest.raises(ValueError, match="out of range"):
+        recommend(theta, beta, [3, 11], k=2)
+    with pytest.raises(ValueError, match="out of range"):
+        recommend(theta, beta, [-1], k=2)
