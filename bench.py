@@ -227,12 +227,16 @@ def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
            "iter_seconds": None, "tiles": f"B={block} C={chunk} G={group}",
            "engines_updates_per_sec_4block": {}}
     out["_layout"] = (blocked, flat)
-    for prec in ("high", "mid", "fast"):
-        def step(s, p=prec):
+    # "high_lagged": bias_update="lagged" — bias statistics ride the factor
+    # passes (same fixed point as exact, tests/test_gaussian_lagged.py).
+    for prec, bias_update in (("high", "exact"), ("high_lagged", "lagged"),
+                              ("mid", "exact"), ("mid_lagged", "lagged"),
+                              ("fast", "exact")):
+        def step(s, p=prec.split("_")[0], b=bias_update):
             return gaussian_mf.sweep_blocked(
                 s, blocked, flat.user_counts, flat.item_counts,
                 cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
-                True, precision=p)
+                True, precision=p, bias_update=b)
 
         try:
             dt = _time_chained(step, dict(state0), iters, rtt)
@@ -317,8 +321,11 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
                     "extended_poisson_blocked_high": ext,
                     "engine_stat_error": {
                         "blocked_high": "~3e-7 HPF (bf16x3) / ~2e-5 Gaussian (bf16x2)",
-                        "blocked_mid": "~2e-5",
+                        "blocked_mid": "~2e-5 HPF / Gaussian mixed: w-stat ~2e-5, A-stat ~2e-3",
                         "blocked_fast": "~6e-3",
+                        "lagged": "same tier error; bias blocks reordered, "
+                                  "one term lags an iteration — same fixed "
+                                  "point (test_gaussian_lagged.py)",
                     },
                     "transfer_rtt_ms": round(rtt * 1e3, 1),
                     "device": str(jax.devices()[0]),

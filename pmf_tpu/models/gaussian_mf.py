@@ -67,6 +67,15 @@ class GaussianMFConfig:
     # (SURVEY.md §7 "Gaussian covariance memory").  Diag mode stores V as
     # (rows, K).
     covariance: str = "full"
+    # "exact": the reference's block order (theta, beta, b_user, b_item),
+    # each bias block reading every newer value — needs two dedicated bias
+    # edge passes.  "lagged": theta -> b_user -> beta -> b_item with
+    # b_user's factor-interaction term against the previous iteration's
+    # betas (the only stale quantity); the bias statistics then ride the
+    # factor passes for free in the blocked engine (~1.4x per iteration at
+    # ML-25M, docs/PERFORMANCE.md).  Same fixed point — the lag vanishes at
+    # convergence (tests/test_gaussian_lagged.py).
+    bias_update: str = "exact"
     # Blocked-engine tile sizes (None -> tuned defaults: 512-row blocks,
     # 128-edge chunks, groups of 8 — the fastest setting in the ML-25M tile
     # scan, docs/PERFORMANCE.md; 256-row blocks lose ~6% to padding).
@@ -220,7 +229,28 @@ def _bias_block(
     return jnp.where(counts > 0, b_new, b_self)
 
 
-@partial(jax.jit, static_argnames=("n_factors", "use_bias", "covariance"))
+def _bias_block_lagged(
+    b_self,
+    m_self_new,
+    S_m,
+    S_x,
+    S_b,
+    counts,
+    eta_bias2: float,
+    sigma2: float,
+):
+    """Bias update from row-level sufficient statistics: the per-edge
+    residual sum decomposes as s_i = sum x - sum b_other - <m_i, sum m_other>
+    (m_i constant per row), so no edge pass is needed once (S_m, S_x, S_b)
+    are known — the lagged-bias mode collects them on the factor passes."""
+    dtype = b_self.dtype
+    s = S_x - S_b - jnp.sum(m_self_new * S_m, axis=1)
+    prec = 1.0 / jnp.asarray(eta_bias2, dtype) + counts / jnp.asarray(sigma2, dtype)
+    return jnp.where(counts > 0, s / (prec * jnp.asarray(sigma2, dtype)), b_self)
+
+
+@partial(jax.jit, static_argnames=("n_factors", "use_bias", "covariance",
+                                   "bias_update"))
 def sweep(
     state: dict,
     data: RatingsCOO,
@@ -231,12 +261,23 @@ def sweep(
     n_factors: int,
     use_bias: bool,
     covariance: str = "full",
+    bias_update: str = "exact",
 ) -> dict:
     """One full CAVI iteration: theta block, beta block, then (optionally)
     user/item bias blocks, preserving the reference's block order and
-    read-after-write structure."""
+    read-after-write structure.
+
+    ``bias_update="lagged"`` reorders to theta -> b_user -> beta -> b_item
+    and takes b_user's factor-interaction term against the PREVIOUS
+    iteration's betas (the one stale quantity; b_item's update uses all
+    current values).  Every block update and its fixed point are otherwise
+    identical — at convergence the lag vanishes, so both modes share the
+    reference's fixed point (tested in `tests/test_gaussian_lagged.py`).
+    The payoff is in the blocked engine, where the bias statistics ride the
+    factor passes' padded payload lanes for free (see `sweep_blocked`)."""
     del n_factors  # shape info lives in the arrays; kept static for clarity
     block = _factor_block if covariance == "full" else _factor_block_diag
+    lagged = use_bias and bias_update == "lagged"
     m_theta, V_theta = block(
         state["m_theta"],
         state["V_theta"],
@@ -253,13 +294,27 @@ def sweep(
         data.n_users,
         use_bias,
     )
+    b_user = state["b_user"]
+    b_item = state["b_item"]
+    if lagged:
+        S_m_u = sorted_segment_sum(
+            gather_rows(state["m_beta"], data.i_by_u), data.u_by_u, data.n_users
+        )
+        S_b_u = sorted_segment_sum(
+            gather_rows(b_item, data.i_by_u), data.u_by_u, data.n_users
+        )
+        S_x_u = sorted_segment_sum(data.x_by_u, data.u_by_u, data.n_users)
+        b_user = _bias_block_lagged(
+            b_user, m_theta, S_m_u, S_x_u, S_b_u, data.user_counts,
+            eta_bias2, sigma2,
+        )
     m_beta, V_beta = block(
         state["m_beta"],
         state["V_beta"],
         m_theta,
         V_theta,
         state["b_item"],
-        state["b_user"],
+        b_user,  # lagged: the just-updated user biases; exact: unchanged
         data.i_by_i,
         data.u_by_i,
         data.x_by_i,
@@ -269,9 +324,19 @@ def sweep(
         data.n_items,
         use_bias,
     )
-    b_user = state["b_user"]
-    b_item = state["b_item"]
-    if use_bias:
+    if lagged:
+        S_m_i = sorted_segment_sum(
+            gather_rows(m_theta, data.u_by_i), data.i_by_i, data.n_items
+        )
+        S_b_i = sorted_segment_sum(
+            gather_rows(b_user, data.u_by_i), data.i_by_i, data.n_items
+        )
+        S_x_i = sorted_segment_sum(data.x_by_i, data.i_by_i, data.n_items)
+        b_item = _bias_block_lagged(
+            b_item, m_beta, S_m_i, S_x_i, S_b_i, data.item_counts,
+            eta_bias2, sigma2,
+        )
+    elif use_bias:
         b_user = _bias_block(
             b_user,
             b_item,
@@ -309,7 +374,7 @@ def sweep(
 
 
 @partial(jax.jit, static_argnames=("use_bias", "precision", "interpret", "mesh",
-                                   "covariance"))
+                                   "covariance", "bias_update"))
 def sweep_blocked(
     state: dict,
     blocked,
@@ -325,12 +390,20 @@ def sweep_blocked(
     mesh=None,
     covariance: str = "full",
     blocked_bias=None,
+    bias_update: str = "exact",
 ) -> dict:
     """Same iteration as :func:`sweep`, with all four edge passes computed
     by the Gaussian Pallas kernels (`pmf_tpu.ops.pallas.gaussian_edge`) and
     the K x K solves by the VMEM-resident Pallas Gauss-Jordan inverse
     (XLA's batched Cholesky lowers to sequential While loops on TPU —
-    measured ~0.4 s for 162k users at K=20, vs ~2 ms in VMEM)."""
+    measured ~0.4 s for 162k users at K=20, vs ~2 ms in VMEM).
+
+    ``bias_update="lagged"`` (full covariance only here) drops BOTH
+    dedicated bias edge passes: their sufficient statistics ride the factor
+    passes' padded payload lanes (two extra columns, 500 -> 504 of the same
+    512-lane tiles), and the bias blocks become row-level closed forms —
+    the same math as :func:`sweep`'s lagged mode.  Measured ~1.4x per
+    iteration at ML-25M scale (docs/PERFORMANCE.md)."""
     from pmf_tpu.ops.pallas.gaussian_edge import (
         gaussian_bias_stats,
         gaussian_diag_stats,
@@ -362,6 +435,12 @@ def sweep_blocked(
         has = (counts > 0)[:, None]
         return jnp.where(has, m_new, m_self), jnp.where(has, v_new, v_self)
 
+    if covariance == "diag" and bias_update == "lagged" and use_bias:
+        raise ValueError(
+            "bias_update='lagged' requires covariance='full' in the blocked "
+            "engine (the diag kernel carries no bias-stat payload); use the "
+            "flat engine for lagged diag mode"
+        )
     if covariance == "diag":
         m_theta, V_theta = diag_block(
             state["m_theta"], state["V_theta"], state["m_beta"], state["V_beta"],
@@ -372,6 +451,35 @@ def sweep_blocked(
             state["m_beta"], state["V_beta"], m_theta, V_theta,
             state["b_item"], state["b_user"], blocked.by_item, item_counts,
             eta_beta2,
+        )
+        lagged = False
+    elif use_bias and bias_update == "lagged":
+        # Lagged-bias iteration: theta -> b_user -> beta -> b_item; no
+        # dedicated bias passes (stats ride the factor payloads).
+        lagged = True
+        S_w, S_A, S_m_u, S_x_u, S_b_u = gaussian_factor_stats(
+            state["m_beta"], state["V_beta"], state["b_user"], state["b_item"],
+            blocked.by_user, use_bias=True, precision=precision,
+            interpret=interpret, mesh=mesh, with_bias_stats=True,
+        )
+        m_theta, V_theta = factor_update(
+            state["m_theta"], state["V_theta"], S_w, S_A, user_counts, eta_theta2
+        )
+        b_user = _bias_block_lagged(
+            state["b_user"], m_theta, S_m_u, S_x_u, S_b_u, user_counts,
+            eta_bias2, sigma2,
+        )
+        S_w_i, S_A_i, S_m_i, S_x_i, S_b_i = gaussian_factor_stats(
+            m_theta, V_theta, state["b_item"], b_user,
+            blocked.by_item, use_bias=True, precision=precision,
+            interpret=interpret, mesh=mesh, with_bias_stats=True,
+        )
+        m_beta, V_beta = factor_update(
+            state["m_beta"], state["V_beta"], S_w_i, S_A_i, item_counts, eta_beta2
+        )
+        b_item = _bias_block_lagged(
+            state["b_item"], m_beta, S_m_i, S_x_i, S_b_i, item_counts,
+            eta_bias2, sigma2,
         )
     else:
         # theta block (old betas, old biases).
@@ -393,14 +501,16 @@ def sweep_blocked(
         m_beta, V_beta = factor_update(
             state["m_beta"], state["V_beta"], S_w_i, S_A_i, item_counts, eta_beta2
         )
+        lagged = False
 
-    b_user = state["b_user"]
-    b_item = state["b_item"]
+    if not lagged:
+        b_user = state["b_user"]
+        b_item = state["b_item"]
     # The bias passes' narrow [m|b|x] payload hits the 128-lane one-hot
     # floor, so their MXU cost scales purely with the block size — an
     # optional smaller-block sub-layout (blocked_bias) cuts it ~4x.
     bias_layout = blocked if blocked_bias is None else blocked_bias
-    if use_bias:
+    if use_bias and not lagged:
         s_u = gaussian_bias_stats(
             m_theta, m_beta, b_item, bias_layout.by_user,
             precision=precision, interpret=interpret, mesh=mesh,
@@ -502,6 +612,7 @@ class GaussianMF(FactorModel):
                     cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
                     cfg.use_bias, precision=precision, interpret=interpret,
                     mesh=mesh, covariance=cfg.covariance,
+                    bias_update=cfg.bias_update,
                 )
         else:
 
@@ -516,6 +627,7 @@ class GaussianMF(FactorModel):
                     cfg.n_factors,
                     cfg.use_bias,
                     cfg.covariance,
+                    cfg.bias_update,
                 )
 
         def eval_fn(s, ev):

@@ -44,8 +44,16 @@ from pmf_tpu.ops.pallas.segmented import run_segmented
 # several 128-lane tiles), so each extra bf16 part costs real matmul tiles.
 # "high" uses bf16x2 (~2e-5 statistic error — far below the 5e-4
 # engine-parity gates); "highest" keeps Mosaic HIGHEST f32 dots for exact
-# cross-checks.
+# cross-checks.  Used by the bias/diag kernels (uniform payloads).
 _PARTS = {"fast": 1, "mid": 2, "high": 2, "highest": 0}
+
+# The factor kernel carries TWO payload sections with independent parts:
+# (p_mb, p_A) = parts for the [m | b | x] section vs the wide triA section.
+# "mid" keeps the w-statistic at bf16x2 (~2e-5) but lets the K(K+1)/2
+# second-moment section ride a single bf16 part (~2e-3 A-stat error) —
+# the dominant matmul width drops ~40% (docs/PERFORMANCE.md).
+_FACTOR_PARTS = {"fast": (1, 1), "mid": (2, 1), "high": (2, 2),
+                 "highest": (0, 0)}
 
 
 def _tri_size(k: int) -> int:
@@ -81,22 +89,27 @@ def unpack_tri(S_tri: jax.Array, k: int) -> jax.Array:
 
 def _factor_kernel(
     sb_ref, ob_ref, loc_ref, x_ref, *rest,
-    bs_self, bs_other, chunk_size, parts, highest, k, use_bias, group,
+    bs_self, bs_other, chunk_size, p_mb, p_A, highest, k, use_bias, group,
+    with_bias_stats=False,
 ):
     """Grouped factor-stats kernel: G chunks sharing one self block.
 
-    Pure other-side pass: the payload is [m*(x - b_other) | m | triA], so
-    the b_self term needs NO per-edge self gather — the wrapper applies
-    S_w = out_mresid - b_self * out_m per row after the pass (exact
-    algebra: sum_j m_j (x - b_i - b_j) = sum_j m_j (x - b_j) - b_i sum m_j).
-    The extra K pass-through columns ride the SAME padded 128-lane tiles as
-    the K+T payload (460 -> 500, both pad to 512): free."""
+    Pure other-side pass over a TWO-SECTION table [[m | b] x p_mb parts |
+    triA x p_A parts]: the payload is [m*(x - b_other) | m | triA (| x |
+    b)], so the b_self term needs NO per-edge self gather — the wrapper
+    applies S_w = out_mresid - b_self * out_m per row after the pass
+    (exact algebra: sum_j m_j (x - b_i - b_j) = sum_j m_j (x - b_j)
+    - b_i sum m_j).  The gathered triA part columns are scattered AS
+    PARTS (selection is exact; part sums recombine after the scatter) —
+    the sections are lane-contiguous, so no strided per-part slicing is
+    needed, unlike the interleaved-parts variant that measured 7% slower
+    in round 2."""
     aug_refs = rest[:group]
     out_ref = rest[group]
     dtype = aug_refs[0].dtype
     prec = jax.lax.Precision.HIGHEST if highest else jax.lax.Precision.DEFAULT
     T = _tri_size(k)
-    w = k + T + 1  # [m | triA | b] group width
+    w_mb = (k + 1) * max(p_mb, 1)  # [m | b] section width in the table
     C = chunk_size
     G = group
 
@@ -119,18 +132,12 @@ def _factor_kernel(
             jnp.dot(onehot_og, aug_refs[g][:], preferred_element_type=jnp.float32,
                     precision=prec)
         )
-    # NOTE: a pass-through-parts variant (scattering the gathered bf16 part
-    # columns directly, skipping the recombine -> re-decompose round-trip)
-    # measured 7% SLOWER here: extracting the per-part [m | triA] sections
-    # requires strided lane slices at non-128 boundaries, and the cross-lane
-    # shuffles cost more than the decompose they save.  Contiguous full
-    # recombine + decompose stays.
-    g_aug = _recombine(jnp.concatenate(g_parts, axis=0), w, parts)  # (G*C, w)
-    m_e = g_aug[:, :k]
-    if use_bias:
-        resid = xv - g_aug[:, k + T : k + T + 1]
-    else:
-        resid = xv
+    g_aug = jnp.concatenate(g_parts, axis=0)  # (G*C, w_mb + T*p_A)
+    mb = _recombine(g_aug[:, :w_mb], k + 1, max(p_mb, 1))
+    m_e = mb[:, :k]
+    b_e = mb[:, k : k + 1]
+    tri_cols = g_aug[:, w_mb:]  # raw part columns, pure pass-through
+    resid = xv - b_e if use_bias else xv
 
     c = pl.program_id(0)
     prev_sb = sb_ref[jnp.maximum(G * c - G, 0)]
@@ -139,16 +146,30 @@ def _factor_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # [m*resid | m pass-through | triA pass-through]; padding edges have
-    # all-zero one-hot rows, so they contribute nothing regardless of resid.
-    payload = jnp.concatenate([m_e * resid, m_e, g_aug[:, k : k + T]], axis=1)
-    payload_in = payload if highest else decompose_bf16(payload, parts)
+    # [m*resid | m | triA parts (| x | b)]; padding edges have all-zero
+    # one-hot rows, so they contribute nothing regardless of resid.
+    fr = jnp.concatenate([m_e * resid, m_e], axis=1)
+    pieces = [fr if highest else decompose_bf16(fr, p_mb),
+              tri_cols if highest else tri_cols.astype(jnp.bfloat16)]
+    if with_bias_stats:
+        # Extra [x | b_other] columns ride the same padded payload tiles:
+        # the lagged-bias mode's whole edge cost.
+        xb = jnp.concatenate([xv, b_e], axis=1)
+        pieces.append(xb if highest else decompose_bf16(xb, p_mb))
+    payload_in = jnp.concatenate(pieces, axis=1)
     contract = (((0,), (0,)), ((), ()))
     seg = jax.lax.dot_general(
         onehot_s, payload_in, contract, preferred_element_type=jnp.float32,
         precision=prec,
     )
-    out_ref[:] += _recombine(seg, 2 * k + T, 1 if highest else parts)
+    pm = 1 if highest else p_mb
+    pa = 1 if highest else p_A
+    a = 2 * k * pm
+    outs = [_recombine(seg[:, :a], 2 * k, pm),
+            _recombine(seg[:, a : a + T * pa], T, pa)]
+    if with_bias_stats:
+        outs.append(_recombine(seg[:, a + T * pa :], 2, pm))
+    out_ref[:] += jnp.concatenate(outs, axis=1)
 
 
 def _bias_kernel(
@@ -287,43 +308,60 @@ def _diag_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("use_bias", "precision", "interpret", "mesh")
+    jax.jit,
+    static_argnames=("use_bias", "precision", "interpret", "mesh",
+                     "with_bias_stats"),
 )
 def gaussian_factor_stats(
     m_other, V_other, b_self, b_other, p: BlockedPass,
     use_bias: bool = True, precision: str = "high", interpret: bool = False,
-    mesh=None,
+    mesh=None, with_bias_stats: bool = False,
 ):
-    """Return (S_w (n_self, K), S_A (n_self, K, K)) for one factor block."""
+    """Return (S_w (n_self, K), S_A (n_self, K, K)) for one factor block.
+
+    With ``with_bias_stats`` (lagged-bias mode) additionally return
+    (S_m, S_x, S_b): per-self-row sums of m_other, x, and b_other — the
+    bias-block sufficient statistics, collected for free on the factor
+    pass's padded payload lanes (see `_factor_kernel`)."""
     K = m_other.shape[1]
     T = _tri_size(K)
     n_other_pad = p.n_other_blocks * p.bs_other
 
-    parts = _PARTS[precision]
-    highest = parts == 0
-    parts = max(parts, 1)
+    p_mb, p_A = _FACTOR_PARTS[precision]
+    highest = p_mb == 0
     A_flat = (V_other + m_other[:, :, None] * m_other[:, None, :]).reshape(-1, K * K)
-    aug = jnp.concatenate([m_other, pack_tri(A_flat, K), b_other[:, None]], axis=1)
+    mb = jnp.concatenate([m_other, b_other[:, None]], axis=1)
+    tri = pack_tri(A_flat, K)
     if p.reordered:
-        aug = jnp.take(aug, p.other_old_of_new, axis=0)
+        mb = jnp.take(mb, p.other_old_of_new, axis=0)
+        tri = jnp.take(tri, p.other_old_of_new, axis=0)
     if not highest:
-        aug = decompose_bf16(aug, parts)
+        mb = decompose_bf16(mb, p_mb)
+        tri = decompose_bf16(tri, p_A)
+    aug = jnp.concatenate([mb, tri], axis=1)
     aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
 
+    if with_bias_stats and not use_bias:
+        raise ValueError("with_bias_stats requires use_bias=True")
     kernel = functools.partial(
         _factor_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
-        chunk_size=p.chunk_size, parts=parts, highest=highest, k=K,
-        use_bias=use_bias, group=p.group,
+        chunk_size=p.chunk_size, p_mb=p_mb, p_A=p_A, highest=highest, k=K,
+        use_bias=use_bias, group=p.group, with_bias_stats=with_bias_stats,
     )
-    out = run_segmented(kernel, p, None, aug, 2 * K + T,
+    w_out = 2 * K + T + (2 if with_bias_stats else 0)
+    out = run_segmented(kernel, p, None, aug, w_out,
                         interpret=interpret, mesh=mesh)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     S_w = out[:, :K]
+    S_m = out[:, K : 2 * K]
     if use_bias:
         # sum_j m_j (x - b_i - b_j) = sum_j m_j (x - b_j) - b_i sum_j m_j
-        S_w = S_w - b_self[:, None] * out[:, K : 2 * K]
-    return S_w, unpack_tri(out[:, 2 * K :], K)
+        S_w = S_w - b_self[:, None] * S_m
+    S_A = unpack_tri(out[:, 2 * K : 2 * K + T], K)
+    if with_bias_stats:
+        return S_w, S_A, S_m, out[:, 2 * K + T], out[:, 2 * K + T + 1]
+    return S_w, S_A
 
 
 @functools.partial(jax.jit, static_argnames=("precision", "interpret", "mesh"))

@@ -101,6 +101,17 @@ def main():
     print(f"full sweep: {dt:.3f}s  -> {4*nnz/dt/1e6:.0f}M edge-visits/s "
           f"(4 passes), {2*nnz/dt/1e6:.0f}M (2-pass convention)")
 
+    # (a') lagged-bias sweep: bias stats ride the factor passes
+    def full_lagged(s):
+        return gaussian_mf.sweep_blocked(
+            s, blocked, flat.user_counts, flat.item_counts,
+            cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
+            True, precision=args.precision, bias_update="lagged")
+
+    dt_l = timeit(full_lagged, state, args.iters, rtt, chain=True)
+    print(f"full sweep (lagged bias): {dt_l:.3f}s  -> "
+          f"{4*nnz/dt_l/1e6:.0f}M 4-block, {2*nnz/dt_l/1e6:.0f}M factor-only")
+
     # (b) one factor pass (theta block stats)
     def fac(s):
         return gaussian_factor_stats(
