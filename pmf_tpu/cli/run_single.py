@@ -113,6 +113,13 @@ def main(argv=None):
     parser.add_argument("--profile_dir", help="write a jax.profiler trace here")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="train over an N-device data mesh (0 = single device)")
+    parser.add_argument("--engine",
+                        help="sweep engine override for CAVI models "
+                             "(flat, flat_chunked, blocked_high, blocked_mid, "
+                             "blocked_fast, auto)")
+    parser.add_argument("--bias_update", choices=["exact", "lagged"],
+                        help="Gaussian bias-block mode (lagged: bias stats "
+                             "ride the factor passes; same fixed point)")
     add_data_args(parser)
     args = parser.parse_args(argv)
 
@@ -126,6 +133,10 @@ def main(argv=None):
             config.max_iter = args.max_iter
         else:
             config.epochs = args.max_iter
+    if args.engine and hasattr(config, "engine"):
+        config.engine = args.engine
+    if args.bias_update and hasattr(config, "bias_update"):
+        config.bias_update = args.bias_update
 
     train_df, val_df, test_df = get_splits(args)
     print_header(f"run_single: {args.model}")

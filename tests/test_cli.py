@@ -159,3 +159,12 @@ def test_recommend_cli(tmp_path, monkeypatch):
     # user 0's train items excluded
     train0 = set(i[u == 0])
     assert not set(got[got["u"] == 0]["i"]) & train0
+
+
+def test_run_single_engine_and_bias_update_flags():
+    from pmf_tpu.cli.run_single import main
+
+    res = main(["--model", "gaussian_bias", "--max_iter", "3",
+                "--engine", "flat", "--bias_update", "lagged", *SYN])
+    for split in ("train", "val", "test"):
+        assert np.isfinite(res[f"{split}_rmse"])
