@@ -114,9 +114,16 @@ def bench_hpf(u, i, x, n_users, n_items, nnz, K, iters, rtt):
     flat = build_ratings(u, i, x, n_users=n_users, n_items=n_items)
     blocked = build_blocked(u, i, x, n_users=n_users, n_items=n_items,
                             block_users=512, block_items=512, reorder=True)
+    # Hybrid layout: dense head (top users x top items corner as cell
+    # arrays, statistics via dense matmuls) + Pallas tail — the production
+    # default (fit's head="auto").
+    hybrid = build_blocked(u, i, x, n_users=n_users, n_items=n_items,
+                           block_users=512, block_items=512, reorder=True,
+                           head="auto")
 
     results, failures = {}, {}
     for engine, prec in (
+        ("hybrid_high", "high"),
         ("blocked_high", "high"),
         ("blocked_mid", "mid"),
         ("blocked_fast", "fast"),
@@ -128,8 +135,9 @@ def bench_hpf(u, i, x, n_users, n_items, nnz, K, iters, rtt):
         elif prec is None:
             step = lambda s: hpf.sweep(s, flat, *hyper)
         else:
-            step = lambda s, p=prec: hpf.sweep_blocked(
-                s, blocked, flat.user_counts, flat.item_counts, *hyper, precision=p
+            layout = hybrid if engine.startswith("hybrid") else blocked
+            step = lambda s, p=prec, b=layout: hpf.sweep_blocked(
+                s, b, flat.user_counts, flat.item_counts, *hyper, precision=p
             )
         try:
             dt = _time_chained(step, dict(state0), iters, rtt)
@@ -222,6 +230,10 @@ def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
     blocked = build_blocked(u, i, x, n_users=n_users, n_items=n_items,
                             block_users=block, block_items=block,
                             chunk_size=chunk, group=group, reorder=True)
+    hybrid = build_blocked(u, i, x, n_users=n_users, n_items=n_items,
+                           block_users=block, block_items=block,
+                           chunk_size=chunk, group=group, reorder=True,
+                           head="auto")
 
     out = {"updates_per_sec_4block": None, "updates_per_sec_factor_only": None,
            "iter_seconds": None, "tiles": f"B={block} C={chunk} G={group}",
@@ -229,34 +241,44 @@ def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
     out["_layout"] = (blocked, flat)
     # "high_lagged": bias_update="lagged" — bias statistics ride the factor
     # passes (same fixed point as exact, tests/test_gaussian_lagged.py).
-    for prec, bias_update in (("high", "exact"), ("high_lagged", "lagged"),
-                              ("mid", "exact"), ("mid_lagged", "lagged"),
-                              ("fast", "exact")):
-        def step(s, p=prec.split("_")[0], b=bias_update):
+    # "hybrid_*": dense-head + Pallas-tail layout (the production default).
+    headline = "hybrid_high"
+    for name, bias_update in (("hybrid_high", "exact"),
+                              ("hybrid_high_lagged", "lagged"),
+                              ("hybrid_mid_lagged", "lagged"),
+                              ("blocked_high", "exact"),
+                              ("blocked_high_lagged", "lagged"),
+                              ("blocked_mid", "exact"),
+                              ("blocked_mid_lagged", "lagged"),
+                              ("blocked_fast", "exact")):
+        kind, prec = name.split("_", 1)
+        layout = hybrid if kind == "hybrid" else blocked
+
+        def step(s, p=prec.split("_")[0], b=bias_update, lay=layout):
             return gaussian_mf.sweep_blocked(
-                s, blocked, flat.user_counts, flat.item_counts,
+                s, lay, flat.user_counts, flat.item_counts,
                 cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
                 True, precision=p, bias_update=b)
 
         try:
             dt = _time_chained(step, dict(state0), iters, rtt)
         except Exception as e:
-            out["engines_updates_per_sec_4block"][f"blocked_{prec}"] = None
-            if prec == "high":
+            out["engines_updates_per_sec_4block"][name] = None
+            if name == headline:
                 out["failure"] = classify_failure(e)
-            print(f"# gaussian blocked_{prec} failed "
+                headline = "blocked_high"  # fall back for the summary line
+            print(f"# gaussian {name} failed "
                   f"({classify_failure(e)['failure']}): {str(e)[:160]}",
                   file=sys.stderr)
             continue
-        out["engines_updates_per_sec_4block"][f"blocked_{prec}"] = round(
-            4.0 * nnz / dt, 1)
-        if prec == "high":
+        out["engines_updates_per_sec_4block"][name] = round(4.0 * nnz / dt, 1)
+        if name == headline:
             out.update(
                 updates_per_sec_4block=round(4.0 * nnz / dt, 1),
                 updates_per_sec_factor_only=round(2.0 * nnz / dt, 1),
                 iter_seconds=round(dt, 4),
             )
-        print(f"# gaussian blocked_{prec}: {4*nnz/dt/1e6:.0f}M updates/s "
+        print(f"# gaussian {name}: {4*nnz/dt/1e6:.0f}M updates/s "
               f"(4 blocks/rating/iter; factor-only {2*nnz/dt/1e6:.0f}M; "
               f"{dt:.3f}s/iter)", file=sys.stderr)
     return out
@@ -279,7 +301,7 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
     g_blocked, g_flat = g.pop("_layout")
     gdiag = bench_gaussian_diag(g_blocked, g_flat, nnz, K, iters, rtt)
 
-    value = hpf_results["blocked_high"]
+    value = hpf_results.get("hybrid_high") or hpf_results["blocked_high"]
     gval = g.get("updates_per_sec_4block")
     print(
         json.dumps(

@@ -274,13 +274,70 @@ def _build_pass(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["by_user", "by_item"],
+    data_fields=["x_hi", "x_lo", "m", "x_sum_user", "x_sum_item"],
+    meta_fields=["hu", "hi", "r0", "row_start"],
+)
+@dataclasses.dataclass(frozen=True)
+class DenseHead:
+    """Dense storage for the (top-hu users) x (top-hi items) corner of the
+    COUNT-REORDERED rating matrix.
+
+    Zipf-distributed rating data (the shape of every real rating dataset,
+    ML-25M included) supersaturates this corner: after popularity
+    reordering a few thousand head rows hold 30-50%+ of all edges at high
+    fill.  For those edges the one-hot edge kernel's per-edge cost
+    (~3*block*128 MXU MACs) is absurd overkill — every CAVI sufficient
+    statistic over the head collapses into a handful of DENSE matmuls
+    (`pmf_tpu.ops.dense_head`):
+
+        R = Theta_head @ Beta_head^T          rate matrix
+        W = where(M > 0, X / max(R, floor), 0)
+        S_alloc = Theta ∘ (W @ Beta),  S_other = M @ Beta   (Poisson/HPF)
+
+    at a few hundred MACs per CELL — orders of magnitude less work per
+    edge.  The sparse tail keeps the Pallas edge engine; the layout
+    builder splits edges between the two.
+
+    X = sum of ratings per cell, M = edge multiplicity per cell (both
+    handle duplicate (u, i) pairs exactly: every statistic is linear in
+    x at fixed rate, and rate is identical across duplicates).  x_lo is
+    the bf16 remainder of X when ratings are not bf16-exact (None when
+    X == bf16(X), e.g. integer ratings).
+    """
+
+    x_hi: jax.Array  # (hu, hip) bf16 — sum of ratings per cell (hi part)
+    x_lo: jax.Array | None  # (hu, hip) bf16 remainder, or None when exact
+    m: jax.Array  # (hu, hip) bf16 — edge multiplicity per cell
+    x_sum_user: jax.Array  # (hu,) f32 — static per-row rating sums
+    x_sum_item: jax.Array  # (hip,) f32
+    hu: int  # head user rows (multiple of r0)
+    hi: int  # real head item columns (hip = padded to 128 lanes)
+    r0: int  # scan chunk rows; divides hu
+    # First NEW-space user row of this tier.  Zipf data rewards a
+    # STAIRCASE of tiers — bands of progressively less-active users kept
+    # dense on progressively fewer top items (each quartering of the item
+    # width triples the affordable user band at constant bytes, and the
+    # band still holds a large edge share) — so a hybrid layout carries a
+    # tuple of DenseHead tiers with disjoint row bands.
+    row_start: int = 0
+
+    @property
+    def hip(self) -> int:
+        return self.m.shape[1]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["by_user", "by_item", "head"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockedCOO:
     by_user: BlockedPass  # user blocks major -> user-factor coordinate blocks
     by_item: BlockedPass  # item blocks major -> item-factor coordinate blocks
+    # Dense staircase tiers of the hybrid engine (disjoint user bands,
+    # see DenseHead.row_start); None = pure edge layout.
+    head: tuple | None = None
 
 
 def auto_tiles(n_users: int, n_items: int, nnz: int, group_cap: int = 16,
@@ -304,6 +361,107 @@ def auto_tiles(n_users: int, n_items: int, nnz: int, group_cap: int = 16,
                 group=group)
 
 
+def _pick_tiers(
+    new_u: np.ndarray,
+    new_i: np.ndarray,
+    n_users: int,
+    n_items: int,
+    head_bytes: int,
+    cell_bytes: int,
+    r0: int,
+    min_nnz: int = 4_000_000,
+    min_cover: float = 0.02,
+    max_tiers: int = 4,
+) -> list:
+    """Auto staircase sizing: tier 0 covers the top users across all items
+    (<= 64k columns); each further tier quarters the item width and spends
+    the freed bytes on a 3x-wider band of less-active users — on Zipf data
+    every step of the stair still holds a large edge share, so coverage
+    per byte is several times better than one flat rectangle.  Returns
+    [(row_start, rows, hi), ...] (contiguous user bands from row 0), empty
+    when the data is too small or the head would not pay."""
+    nnz = len(new_u)
+    if nnz < min_nnz:
+        return []
+    budget_cells = head_bytes // cell_bytes
+    hi0 = min(n_items, 65536)
+    # Equal-cells stair: tier t spends ~3/4 of tier 0's cells.
+    hu0 = int(budget_cells / (hi0 * (1 + 0.75 * (max_tiers - 1)))) // r0 * r0
+    if hu0 < r0:
+        hu = min((budget_cells // max(hi0, 1)) // r0 * r0, (n_users // r0) * r0)
+        tiers = [(0, hu, hi0)] if hu >= r0 else []
+    else:
+        tiers = []
+        row, band, hi = 0, hu0, hi0
+        for t in range(max_tiers):
+            rows = min(band, ((n_users - row) // r0) * r0)
+            if rows < r0 or hi < 128:
+                break
+            tiers.append((row, rows, hi))
+            row += rows
+            band = 3 * hu0 * (4 ** t)
+            hi = hi // 4
+    kept = []
+    for rs, rows, hi in tiers:
+        cover = np.count_nonzero(
+            (new_u >= rs) & (new_u < rs + rows) & (new_i < hi)
+        )
+        if cover < min_cover * nnz:
+            break
+        kept.append((int(rs), int(rows), int(hi)))
+    return kept
+
+
+def _build_head(
+    nu: np.ndarray, ni: np.ndarray, x: np.ndarray, hu: int, hi: int, r0: int,
+    row_start: int = 0,
+) -> DenseHead:
+    """Scatter head edges (NEW-id space) into dense (hu, hip) cell arrays
+    ON DEVICE — only the head edge triples cross the host->HBM link, not
+    gigabytes of dense cells (the axon tunnel makes bulk host transfers
+    the build bottleneck otherwise).  Duplicate (u, i) pairs sum into X
+    and count into M."""
+    hip = -(-hi // 128) * 128
+    idx = jnp.asarray(nu.astype(np.int32) * np.int32(hip) + ni.astype(np.int32))
+    xs = jnp.asarray(x.astype(np.float32))
+
+    @jax.jit
+    def scatter(idx, xs):
+        X = jnp.zeros((hu * hip,), jnp.float32).at[idx].add(xs).reshape(hu, hip)
+        M = (
+            jnp.zeros((hu * hip,), jnp.float32)
+            .at[idx]
+            .add(1.0)
+            .reshape(hu, hip)
+        )
+        x_hi = X.astype(jnp.bfloat16)
+        rem = X - x_hi.astype(jnp.float32)
+        return (
+            x_hi,
+            rem.astype(jnp.bfloat16),
+            M,
+            jnp.any(rem != 0),
+            # Multiplicities <= 256 are bf16-exact; beyond that (heavily
+            # duplicated head cells) keep f32 for exact linear M-statistics.
+            jnp.max(M, initial=0.0) <= 256,
+            X.sum(axis=1),
+            X.sum(axis=0),
+        )
+
+    x_hi, x_lo, M, has_rem, m_exact, xsu, xsi = scatter(idx, xs)
+    return DenseHead(
+        x_hi=x_hi,
+        x_lo=x_lo if bool(has_rem) else None,
+        m=M.astype(jnp.bfloat16) if bool(m_exact) else M,
+        x_sum_user=xsu,
+        x_sum_item=xsi,
+        hu=hu,
+        hi=hi,
+        r0=r0,
+        row_start=row_start,
+    )
+
+
 def build_blocked(
     u: np.ndarray,
     i: np.ndarray,
@@ -317,7 +475,17 @@ def build_blocked(
     seg_chunks: int = 4096,
     reorder: bool = False,
     group: int = 16,
+    head=None,
+    head_bytes: int = 2 << 30,
+    head_r0: int = 512,
 ) -> BlockedCOO:
+    """``head``: None = pure edge layout; "auto" = size a dense head from
+    the data (requires ``reorder``); (hu, hi) = explicit head rows/cols
+    (hu a multiple of ``head_r0``).  With a head, edges inside the
+    (top-hu users) x (top-hi items) reordered corner are stored densely
+    (`DenseHead`) and EXCLUDED from the edge passes; engines must add the
+    dense-head statistics (`pmf_tpu.ops.dense_head`) — the blocked sweep
+    wrappers do this automatically."""
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     x = np.asarray(x)
@@ -325,8 +493,91 @@ def build_blocked(
         n_users = int(u.max()) + 1
     if n_items is None:
         n_items = int(i.max()) + 1
-    by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items,
-                          chunk_size, dtype, seg_chunks, reorder, group)
-    by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users,
-                          chunk_size, dtype, seg_chunks, reorder, group)
-    return BlockedCOO(by_user=by_user, by_item=by_item)
+    if head is None:
+        by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items,
+                              chunk_size, dtype, seg_chunks, reorder, group)
+        by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users,
+                              chunk_size, dtype, seg_chunks, reorder, group)
+        return BlockedCOO(by_user=by_user, by_item=by_item, head=None)
+
+    if not reorder:
+        raise ValueError("head requires reorder=True (head = top-count corner)")
+    import ml_dtypes
+
+    u_counts = np.bincount(u, minlength=n_users)
+    i_counts = np.bincount(i, minlength=n_items)
+    user_old_of_new = np.argsort(-u_counts, kind="stable").astype(np.int32)
+    item_old_of_new = np.argsort(-i_counts, kind="stable").astype(np.int32)
+    user_new_of_old = np.empty(n_users, dtype=np.int32)
+    user_new_of_old[user_old_of_new] = np.arange(n_users, dtype=np.int32)
+    item_new_of_old = np.empty(n_items, dtype=np.int32)
+    item_new_of_old[item_old_of_new] = np.arange(n_items, dtype=np.int32)
+    nu = user_new_of_old[u]
+    ni = item_new_of_old[i]
+
+    x32 = x.astype(np.float32)
+    exact = np.array_equal(x32.astype(ml_dtypes.bfloat16).astype(np.float32), x32)
+    cell_bytes = 4 if exact else 6  # x_hi + m (+ x_lo)
+    if head == "auto":
+        r0 = head_r0
+        tiers = _pick_tiers(nu, ni, n_users, n_items, head_bytes, cell_bytes, r0)
+    elif isinstance(head, list):
+        # Explicit staircase: [(row_start, rows, hi), ...], disjoint bands.
+        r0 = head_r0
+        tiers = [(int(rs), int(rows), int(hi)) for rs, rows, hi in head]
+        spans = sorted((rs, rs + rows) for rs, rows, _ in tiers)
+        for (a0, b0), (a1, _) in zip(spans, spans[1:]):
+            if a1 < b0:
+                raise ValueError("head tiers must have disjoint user bands")
+        for rs, rows, hi in tiers:
+            if rows % max(min(r0, rows), 1) or rs + rows > n_users or hi > n_items:
+                raise ValueError(f"head tier ({rs}, {rows}, {hi}) invalid")
+    else:
+        hu, hi = head
+        r0 = min(head_r0, hu) if hu else head_r0
+        if hu % max(r0, 1) or hu > n_users or hi > n_items:
+            raise ValueError(
+                f"head ({hu}, {hi}) invalid: hu must be a multiple of r0={r0} "
+                f"and within ({n_users}, {n_items})"
+            )
+        tiers = [(0, hu, hi)] if hu and hi else []
+    if not tiers:
+        by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items,
+                              chunk_size, dtype, seg_chunks, True, group)
+        by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users,
+                              chunk_size, dtype, seg_chunks, True, group)
+        return BlockedCOO(by_user=by_user, by_item=by_item, head=None)
+
+    in_head = np.zeros(len(nu), dtype=bool)
+    heads = []
+    for rs, rows, hi_t in tiers:
+        mask = (nu >= rs) & (nu < rs + rows) & (ni < hi_t)
+        heads.append(
+            _build_head(nu[mask] - rs, ni[mask], x32[mask], rows, hi_t,
+                        min(r0, rows), row_start=rs)
+        )
+        in_head |= mask
+    dense = tuple(heads)
+    tu, ti, tx = nu[~in_head], ni[~in_head], x[~in_head]
+    # Tail passes are built on already-relabeled ids (reorder=False keeps
+    # them); the GLOBAL permutations attach afterwards so kernel wrappers
+    # permute tables / un-permute stats exactly as in the headless layout.
+    by_user = _build_pass(tu, ti, tx, n_users, n_items, block_users, block_items,
+                          chunk_size, dtype, seg_chunks, False, group)
+    by_item = _build_pass(ti, tu, tx, n_items, n_users, block_items, block_users,
+                          chunk_size, dtype, seg_chunks, False, group)
+    by_user = dataclasses.replace(
+        by_user,
+        self_old_of_new=jnp.asarray(user_old_of_new),
+        other_old_of_new=jnp.asarray(item_old_of_new),
+        self_new_of_old=jnp.asarray(user_new_of_old),
+        reordered=True,
+    )
+    by_item = dataclasses.replace(
+        by_item,
+        self_old_of_new=jnp.asarray(item_old_of_new),
+        other_old_of_new=jnp.asarray(user_old_of_new),
+        self_new_of_old=jnp.asarray(item_new_of_old),
+        reordered=True,
+    )
+    return BlockedCOO(by_user=by_user, by_item=by_item, head=dense)

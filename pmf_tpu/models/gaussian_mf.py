@@ -411,6 +411,13 @@ def sweep_blocked(
     )
     from pmf_tpu.ops.pallas.gj_inverse import batched_psd_inverse_pallas
 
+    head = getattr(blocked, "head", None)
+    if head is not None and blocked_bias is not None:
+        raise ValueError(
+            "blocked_bias sub-layouts are not supported with a dense head "
+            "(the sub-layout would double-count head edges)"
+        )
+
     K = state["m_theta"].shape[1]
     dtype = state["m_theta"].dtype
     eye = jnp.eye(K, dtype=dtype)
@@ -423,11 +430,11 @@ def sweep_blocked(
         return jnp.where(has, m_new, m_old), jnp.where(has[:, :, None], V_new, V_old)
 
     def diag_block(m_self, v_self, m_other, v_other, b_self, b_other, pass_,
-                   counts, eta2):
+                   counts, eta2, head_side):
         S_mr, S_sq, S_mm = gaussian_diag_stats(
             m_other, v_other, m_self, b_self, b_other, pass_,
             use_bias=use_bias, precision=precision, interpret=interpret,
-            mesh=mesh,
+            mesh=mesh, head=head, head_side=head_side,
         )
         precn = 1.0 / jnp.asarray(eta2, dtype) + S_sq / jnp.asarray(sigma2, dtype)
         v_new = 1.0 / precn
@@ -445,12 +452,12 @@ def sweep_blocked(
         m_theta, V_theta = diag_block(
             state["m_theta"], state["V_theta"], state["m_beta"], state["V_beta"],
             state["b_user"], state["b_item"], blocked.by_user, user_counts,
-            eta_theta2,
+            eta_theta2, "user",
         )
         m_beta, V_beta = diag_block(
             state["m_beta"], state["V_beta"], m_theta, V_theta,
             state["b_item"], state["b_user"], blocked.by_item, item_counts,
-            eta_beta2,
+            eta_beta2, "item",
         )
         lagged = False
     elif use_bias and bias_update == "lagged":
@@ -461,6 +468,7 @@ def sweep_blocked(
             state["m_beta"], state["V_beta"], state["b_user"], state["b_item"],
             blocked.by_user, use_bias=True, precision=precision,
             interpret=interpret, mesh=mesh, with_bias_stats=True,
+            head=head, head_side="user",
         )
         m_theta, V_theta = factor_update(
             state["m_theta"], state["V_theta"], S_w, S_A, user_counts, eta_theta2
@@ -473,6 +481,7 @@ def sweep_blocked(
             m_theta, V_theta, state["b_item"], b_user,
             blocked.by_item, use_bias=True, precision=precision,
             interpret=interpret, mesh=mesh, with_bias_stats=True,
+            head=head, head_side="item",
         )
         m_beta, V_beta = factor_update(
             state["m_beta"], state["V_beta"], S_w_i, S_A_i, item_counts, eta_beta2
@@ -486,7 +495,7 @@ def sweep_blocked(
         S_w, S_A = gaussian_factor_stats(
             state["m_beta"], state["V_beta"], state["b_user"], state["b_item"],
             blocked.by_user, use_bias=use_bias, precision=precision,
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, head=head, head_side="user",
         )
         m_theta, V_theta = factor_update(
             state["m_theta"], state["V_theta"], S_w, S_A, user_counts, eta_theta2
@@ -496,7 +505,7 @@ def sweep_blocked(
         S_w_i, S_A_i = gaussian_factor_stats(
             m_theta, V_theta, state["b_item"], state["b_user"],
             blocked.by_item, use_bias=use_bias, precision=precision,
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, head=head, head_side="item",
         )
         m_beta, V_beta = factor_update(
             state["m_beta"], state["V_beta"], S_w_i, S_A_i, item_counts, eta_beta2
@@ -514,12 +523,14 @@ def sweep_blocked(
         s_u = gaussian_bias_stats(
             m_theta, m_beta, b_item, bias_layout.by_user,
             precision=precision, interpret=interpret, mesh=mesh,
+            head=head, head_side="user",
         )
         prec_u = 1.0 / jnp.asarray(eta_bias2, dtype) + user_counts / jnp.asarray(sigma2, dtype)
         b_user = jnp.where(user_counts > 0, s_u / (prec_u * jnp.asarray(sigma2, dtype)), b_user)
         s_i = gaussian_bias_stats(
             m_beta, m_theta, b_user, bias_layout.by_item,
             precision=precision, interpret=interpret, mesh=mesh,
+            head=head, head_side="item",
         )
         prec_i = 1.0 / jnp.asarray(eta_bias2, dtype) + item_counts / jnp.asarray(sigma2, dtype)
         b_item = jnp.where(item_counts > 0, s_i / (prec_i * jnp.asarray(sigma2, dtype)), b_item)
@@ -601,7 +612,7 @@ class GaussianMF(FactorModel):
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
                                     dtype=self._dtype, reorder=True,
                                     block_users=bs, block_items=bs,
-                                    chunk_size=cs, group=grp)
+                                    chunk_size=cs, group=grp, head="auto")
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"

@@ -275,10 +275,11 @@ def sweep_blocked(
     E_eta = a_eta / state["b_eta"]
     dtype = E_theta.dtype
 
+    head = getattr(blocked, "head", None)
     # -- theta block --
     s_alloc, s_other = poisson_edge_stats(
         E_theta, E_beta, blocked.by_user, precision=precision, interpret=interpret,
-        mesh=mesh,
+        mesh=mesh, head=head, head_side="user",
     )
     has = (user_counts > 0)[:, None]
     a_theta = jnp.where(has, a + s_alloc, jnp.asarray(a, dtype))
@@ -291,7 +292,7 @@ def sweep_blocked(
     # -- beta block --
     s_alloc_i, s_other_i = poisson_edge_stats(
         E_beta, E_theta, blocked.by_item, precision=precision, interpret=interpret,
-        mesh=mesh,
+        mesh=mesh, head=head, head_side="item",
     )
     has_i = (item_counts > 0)[:, None]
     a_beta = jnp.where(has_i, c + s_alloc_i, jnp.asarray(c, dtype))
@@ -348,7 +349,7 @@ class HPF(FactorModel):
 
             u, i, x = as_triples(train_df)
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
-                                    dtype=self._dtype, reorder=True,
+                                    dtype=self._dtype, reorder=True, head="auto",
                                     **auto_tiles(self.n_users, self.n_items, data.nnz))
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")

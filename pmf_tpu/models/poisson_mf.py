@@ -215,9 +215,10 @@ def sweep_blocked(
     E_beta = state["a_beta"] / state["b_beta"]
     dtype = E_theta.dtype
 
+    head = getattr(blocked, "head", None)
     s_alloc, s_other = poisson_edge_stats(
         E_theta, E_beta, blocked.by_user, precision=precision, interpret=interpret,
-        mesh=mesh,
+        mesh=mesh, head=head, head_side="user",
     )
     has = (user_counts > 0)[:, None]
     a_theta = jnp.where(has, a0 + s_alloc, jnp.asarray(a0, dtype))
@@ -226,7 +227,7 @@ def sweep_blocked(
 
     s_alloc_i, s_other_i = poisson_edge_stats(
         E_beta, E_theta, blocked.by_item, precision=precision, interpret=interpret,
-        mesh=mesh,
+        mesh=mesh, head=head, head_side="item",
     )
     has_i = (item_counts > 0)[:, None]
     a_beta = jnp.where(has_i, a0 + s_alloc_i, jnp.asarray(a0, dtype))
@@ -254,13 +255,14 @@ def sweep_blocked_extended(
     from pmf_tpu.ops.pallas.ext_edge import ext_factor_stats, ext_scalar_stats
 
     dtype = state["a_theta"].dtype
+    head = getattr(blocked, "head", None)
 
-    def block(E_self, E_other, s_other, p, counts, sx):
+    def block(E_self, E_other, s_other, p, counts, sx, head_side):
         has = (counts > 0)[:, None]
         has1 = counts > 0
         S_alloc, S_wother = ext_factor_stats(
             E_self, E_other, s_other, p, precision=precision,
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, head=head, head_side=head_side,
         )
         a_fac = jnp.where(has, a0 + S_alloc, jnp.asarray(a0, dtype))
         b_fac = jnp.where(has, b0 + S_wother, jnp.asarray(b0, dtype))
@@ -269,7 +271,7 @@ def sweep_blocked_extended(
         # (`poisson_mf_extended_cavi.py:153-164`).
         S_sdot = ext_scalar_stats(
             E_fac, E_other, s_other, p, precision=precision,
-            interpret=interpret, mesh=mesh,
+            interpret=interpret, mesh=mesh, head=head, head_side=head_side,
         )
         a_s = jnp.where(has1, a0 + sx, jnp.asarray(a0, dtype))
         b_s = jnp.where(has1, b0 + S_sdot, jnp.asarray(b0, dtype))
@@ -280,12 +282,12 @@ def sweep_blocked_extended(
     E_psi = state["a_psi"] / state["b_psi"]
 
     a_theta, b_theta, a_phi, b_phi = block(
-        E_theta, E_beta, E_psi, blocked.by_user, user_counts, sx_user
+        E_theta, E_beta, E_psi, blocked.by_user, user_counts, sx_user, "user"
     )
     E_theta = a_theta / b_theta
     E_phi = a_phi / b_phi
     a_beta, b_beta, a_psi, b_psi = block(
-        E_beta, E_theta, E_phi, blocked.by_item, item_counts, sx_item
+        E_beta, E_theta, E_phi, blocked.by_item, item_counts, sx_item, "item"
     )
     return {
         "a_theta": a_theta,
@@ -339,7 +341,7 @@ class PoissonMF(FactorModel):
 
             u, i, x = as_triples(train_df)
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
-                                    dtype=self._dtype, reorder=True,
+                                    dtype=self._dtype, reorder=True, head="auto",
                                     **auto_tiles(self.n_users, self.n_items, data.nnz))
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")

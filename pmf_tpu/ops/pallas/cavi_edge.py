@@ -180,7 +180,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rate_floor", "interpret", "precision", "mesh")
+    jax.jit,
+    static_argnames=("rate_floor", "interpret", "precision", "mesh", "head_side"),
 )
 def poisson_edge_stats(
     e_self: jax.Array,
@@ -190,6 +191,8 @@ def poisson_edge_stats(
     interpret: bool = False,
     precision: str = "high",
     mesh=None,
+    head=None,
+    head_side: str = "user",
 ):
     """Compute (S_alloc, S_other) segment sums over self rows.
 
@@ -207,6 +210,12 @@ def poisson_edge_stats(
     compiled kernel; dummy zero-contribution segments pad to a multiple
     of the device count) and the per-device accumulators combine with one
     psum over ICI.
+
+    head: optional `pmf_tpu.data.blocked.DenseHead` from a hybrid layout —
+    the dense-corner edges excluded from ``p``, whose statistics are added
+    from dense matmuls (`pmf_tpu.ops.dense_head`).  ``head_side`` says
+    which direction this pass is: "user" when self rows are the head's
+    user axis (by_user pass), "item" for the by_item pass.
     """
     parts = {"fast": 1, "fast_bf16": 1, "mid": 2, "high": 3, "highest": 1}[precision]
     highest = precision == "highest"
@@ -216,6 +225,37 @@ def poisson_edge_stats(
     if p.reordered:
         e_self = jnp.take(e_self, p.self_old_of_new, axis=0)
         e_other = jnp.take(e_other, p.other_old_of_new, axis=0)
+    head_adds = []  # (new-space start row, contribution) per stair tier
+    if head:
+        if not p.reordered:
+            raise ValueError("dense head requires a reordered layout")
+        from pmf_tpu.ops.dense_head import poisson_head_stats, poisson_head_stats_t
+
+        for tier in head:
+            hip = tier.hip
+            rs = tier.row_start
+            if head_side == "user":
+                theta_h = e_self[rs : rs + tier.hu].astype(jnp.float32)
+                beta_h = jnp.pad(
+                    e_other[: tier.hi].astype(jnp.float32),
+                    ((0, hip - tier.hi), (0, 0)),
+                )
+                sa_h, so_h = poisson_head_stats(
+                    theta_h, beta_h, tier, rate_floor, precision
+                )
+                head_adds.append((rs, jnp.concatenate([sa_h, so_h], axis=1)))
+            else:
+                theta_h = e_other[rs : rs + tier.hu].astype(jnp.float32)
+                beta_h = jnp.pad(
+                    e_self[: tier.hi].astype(jnp.float32),
+                    ((0, hip - tier.hi), (0, 0)),
+                )
+                sa_h, so_h = poisson_head_stats_t(
+                    theta_h, beta_h, tier, rate_floor, precision
+                )
+                head_adds.append(
+                    (0, jnp.concatenate([sa_h[: tier.hi], so_h[: tier.hi]], axis=1))
+                )
     if highest:
         e_self_t = e_self.astype(jnp.float32)
         e_other_t = e_other.astype(jnp.float32)
@@ -336,6 +376,10 @@ def poisson_edge_stats(
             check_vma=False,  # pallas_call outputs carry no vma info
         )(*xs)
 
+    for rs, add in head_adds:
+        # Tier rows live at [rs, rs + rows) of the reordered space; add the
+        # dense statistics before un-permuting.
+        acc = acc.at[rs : rs + add.shape[0]].add(add)
     s_alloc, s_other = acc[: p.n_self, :K], acc[: p.n_self, K:]
     if p.reordered:
         s_alloc = jnp.take(s_alloc, p.self_new_of_old, axis=0)

@@ -160,18 +160,76 @@ def _prep_tables(E_self, E_other, s_other, p: BlockedPass, parts, highest):
     return e_self, aug
 
 
+def _head_perm(E_self, E_other, s_other, p):
+    """Permute the raw f32 tables to NEW-id space once (tiers then slice)."""
+    e_self = E_self
+    e_other = E_other
+    s_o = s_other
+    if p.reordered:
+        e_self = jnp.take(e_self, p.self_old_of_new, axis=0)
+        e_other = jnp.take(e_other, p.other_old_of_new, axis=0)
+        s_o = jnp.take(s_o, p.other_old_of_new, axis=0)
+    return e_self, e_other, s_o
+
+
+def _head_slices(e_self, e_other, s_o, tier, head_side):
+    """One tier's NEW-space f32 head tables: (theta_h (hu, K),
+    beta_h (hip, K), s_h) where s_h follows the 'other' axis of the pass."""
+    hip = tier.hip
+    rs = tier.row_start
+    if head_side == "user":
+        theta_h = e_self[rs : rs + tier.hu].astype(jnp.float32)
+        beta_h = jnp.pad(e_other[: tier.hi].astype(jnp.float32),
+                         ((0, hip - tier.hi), (0, 0)))
+        s_h = jnp.pad(s_o[: tier.hi].astype(jnp.float32),
+                      (0, hip - tier.hi))
+    else:
+        theta_h = e_other[rs : rs + tier.hu].astype(jnp.float32)
+        beta_h = jnp.pad(e_self[: tier.hi].astype(jnp.float32),
+                         ((0, hip - tier.hi), (0, 0)))
+        s_h = s_o[rs : rs + tier.hu].astype(jnp.float32)
+    return theta_h, beta_h, s_h
+
+
 @functools.partial(
-    jax.jit, static_argnames=("rate_floor", "precision", "interpret", "mesh")
+    jax.jit,
+    static_argnames=("rate_floor", "precision", "interpret", "mesh",
+                     "head_side"),
 )
 def ext_factor_stats(
     E_self, E_other, s_other, p: BlockedPass,
     rate_floor: float = 1e-10, precision: str = "high",
-    interpret: bool = False, mesh=None,
+    interpret: bool = False, mesh=None, head=None, head_side: str = "user",
 ):
-    """Return (S_alloc, S_wother), both (n_self, K)."""
+    """Return (S_alloc, S_wother), both (n_self, K).  ``head``: optional
+    dense corner of a hybrid layout (`pmf_tpu.ops.dense_head.ext_head_stats`)."""
     K = E_self.shape[1]
     parts = _PARTS[precision]
     highest = precision == "highest"
+    head_adds = []
+    if head:
+        from pmf_tpu.ops.dense_head import ext_head_stats, ext_head_stats_t
+
+        es, eo, so = _head_perm(E_self, E_other, s_other, p)
+        for tier in head:
+            theta_h, beta_h, s_h = _head_slices(es, eo, so, tier, head_side)
+            if head_side == "user":
+                sa_h, sw_h = ext_head_stats(
+                    theta_h, beta_h, s_h[:, None] * beta_h, tier, rate_floor,
+                    precision,
+                )
+                head_adds.append(
+                    (tier.row_start, jnp.concatenate([sa_h, sw_h], axis=1))
+                )
+            else:
+                sa_h, sw_h = ext_head_stats_t(
+                    theta_h, beta_h, s_h[:, None] * theta_h, tier, rate_floor,
+                    precision,
+                )
+                head_adds.append(
+                    (0, jnp.concatenate([sa_h[: tier.hi], sw_h[: tier.hi]],
+                                        axis=1))
+                )
     e_self, aug = _prep_tables(E_self, E_other, s_other, p, parts, highest)
     kernel = functools.partial(
         _factor_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
@@ -180,20 +238,49 @@ def ext_factor_stats(
     )
     out = run_segmented(kernel, p, e_self, aug, 2 * K,
                         interpret=interpret, mesh=mesh)
+    for start, add in head_adds:
+        out = out.at[start : start + add.shape[0]].add(add)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, :K], out[:, K:]
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("precision", "interpret", "mesh", "head_side")
+)
 def ext_scalar_stats(
     E_self_new, E_other, s_other, p: BlockedPass,
     precision: str = "high", interpret: bool = False, mesh=None,
+    head=None, head_side: str = "user",
 ):
-    """Return S_sdot (n_self,): sum_e s_other_e * <E_self_new, E_other>."""
+    """Return S_sdot (n_self,): sum_e s_other_e * <E_self_new, E_other>.
+
+    Head contribution reuses the linear product M @ (s_other * E_other):
+    S_sdot_head = rowsum(E_self_new ∘ (M @ (s ∘ E_other)))."""
     K = E_self_new.shape[1]
     parts = _PARTS[precision]
     highest = precision == "highest"
+    head_adds = []
+    if head:
+        from pmf_tpu.ops.dense_head import head_products, head_products_t
+
+        es, eo, so = _head_perm(E_self_new, E_other, s_other, p)
+        for tier in head:
+            theta_h, beta_h, s_h = _head_slices(es, eo, so, tier, head_side)
+            if head_side == "user":
+                mp, _ = head_products(tier, s_h[:, None] * beta_h, None,
+                                      precision)
+                head_adds.append(
+                    (tier.row_start,
+                     jnp.sum(theta_h * mp, axis=1, keepdims=True))
+                )
+            else:
+                mp, _ = head_products_t(tier, s_h[:, None] * theta_h, None,
+                                        precision)
+                head_adds.append(
+                    (0, jnp.sum(beta_h[: tier.hi] * mp[: tier.hi], axis=1,
+                                keepdims=True))
+                )
     e_self, aug = _prep_tables(E_self_new, E_other, s_other, p, parts, highest)
     kernel = functools.partial(
         _scalar_kernel, bs_self=p.bs_self, bs_other=p.bs_other,
@@ -202,6 +289,8 @@ def ext_scalar_stats(
     )
     out = run_segmented(kernel, p, e_self, aug, 1, interpret=interpret,
                         mesh=mesh)
+    for start, add in head_adds:
+        out = out.at[start : start + add.shape[0]].add(add)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, 0]

@@ -307,22 +307,72 @@ def _diag_kernel(
     out_ref[:] += _recombine(seg, 3 * k, 1 if highest else parts)
 
 
+def _gauss_head_out(
+    tier, mb, tri, K, T, use_bias, with_bias_stats, precision, head_side
+):
+    """One stair tier's dense contribution in the factor kernel's
+    output-column layout [S_w' | S_m | triA | (S_x | S_b)] (S_w' excludes
+    the b_self term, exactly like the kernel — the wrapper's row-level
+    correction covers head edges too).  ``mb``/``tri`` are the PERMUTED
+    (new-id space) f32 other-row tables.  Returns (start_row, out): the
+    tier's user band [row_start, row_start + hu) on the user side, item
+    rows [0, hi) on the item side."""
+    from pmf_tpu.ops.dense_head import head_products, head_products_t
+
+    rs = tier.row_start
+    if head_side == "user":
+        n_h = tier.hip
+        sl = slice(0, tier.hi)  # other = top items, always from 0
+    else:
+        n_h = tier.hu
+        sl = slice(rs, rs + tier.hu)  # other = this tier's user band
+    mbf = mb[sl].astype(jnp.float32)
+    take_n = mbf.shape[0]
+    m_h = jnp.pad(mbf[:, :K], ((0, n_h - take_n), (0, 0)))
+    b_h = jnp.pad(mbf[:, K], (0, n_h - take_n))
+    tri_h = jnp.pad(
+        tri[sl].astype(jnp.float32), ((0, n_h - take_n), (0, 0))
+    )
+    tab = jnp.concatenate(
+        [m_h, b_h[:, None] * m_h, tri_h, b_h[:, None]], axis=1
+    )
+    if head_side == "user":
+        mp, xp = head_products(tier, tab, m_h, precision)
+        x_sum = tier.x_sum_user
+        start = rs
+    else:
+        mp, xp = head_products_t(tier, tab, m_h, precision)
+        mp, xp = mp[: tier.hi], xp[: tier.hi]
+        x_sum = tier.x_sum_item[: tier.hi]
+        start = 0
+    S_w = xp - mp[:, K : 2 * K] if use_bias else xp
+    cols = [S_w, mp[:, :K], mp[:, 2 * K : 2 * K + T]]
+    if with_bias_stats:
+        cols += [x_sum[:, None], mp[:, -1:]]
+    return start, jnp.concatenate(cols, axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("use_bias", "precision", "interpret", "mesh",
-                     "with_bias_stats"),
+                     "with_bias_stats", "head_side"),
 )
 def gaussian_factor_stats(
     m_other, V_other, b_self, b_other, p: BlockedPass,
     use_bias: bool = True, precision: str = "high", interpret: bool = False,
-    mesh=None, with_bias_stats: bool = False,
+    mesh=None, with_bias_stats: bool = False, head=None,
+    head_side: str = "user",
 ):
     """Return (S_w (n_self, K), S_A (n_self, K, K)) for one factor block.
 
     With ``with_bias_stats`` (lagged-bias mode) additionally return
     (S_m, S_x, S_b): per-self-row sums of m_other, x, and b_other — the
     bias-block sufficient statistics, collected for free on the factor
-    pass's padded payload lanes (see `_factor_kernel`)."""
+    pass's padded payload lanes (see `_factor_kernel`).
+
+    ``head``: optional `DenseHead` of a hybrid layout (dense-corner edges
+    excluded from ``p``); its statistics are pure linear products of the
+    cell arrays (`pmf_tpu.ops.dense_head.head_products`)."""
     K = m_other.shape[1]
     T = _tri_size(K)
     n_other_pad = p.n_other_blocks * p.bs_other
@@ -335,6 +385,17 @@ def gaussian_factor_stats(
     if p.reordered:
         mb = jnp.take(mb, p.other_old_of_new, axis=0)
         tri = jnp.take(tri, p.other_old_of_new, axis=0)
+    head_outs = []
+    if head:
+        if not p.reordered:
+            raise ValueError("dense head requires a reordered layout")
+        head_outs = [
+            _gauss_head_out(
+                tier, mb, tri, K, T, use_bias, with_bias_stats, precision,
+                head_side,
+            )
+            for tier in head
+        ]
     if not highest:
         mb = decompose_bf16(mb, p_mb)
         tri = decompose_bf16(tri, p_A)
@@ -351,6 +412,8 @@ def gaussian_factor_stats(
     w_out = 2 * K + T + (2 if with_bias_stats else 0)
     out = run_segmented(kernel, p, None, aug, w_out,
                         interpret=interpret, mesh=mesh)
+    for start, h_out in head_outs:
+        out = out.at[start : start + h_out.shape[0]].add(h_out)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     S_w = out[:, :K]
@@ -364,14 +427,19 @@ def gaussian_factor_stats(
     return S_w, S_A
 
 
-@functools.partial(jax.jit, static_argnames=("precision", "interpret", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("precision", "interpret", "mesh", "head_side")
+)
 def gaussian_bias_stats(
     m_self, m_other, b_other, p: BlockedPass,
     precision: str = "high", interpret: bool = False, mesh=None,
+    head=None, head_side: str = "user",
 ):
     """Return s (n_self,): per-row sums of bias residuals
     sum_e (x_e - b_other_e - <m_self, m_other_e>), assembled from the
-    pass-through row sums (see _bias_kernel)."""
+    pass-through row sums (see _bias_kernel).  ``head``: dense-corner
+    contribution of a hybrid layout (linear: S_m = M @ m, S_b = M @ b,
+    S_x static)."""
     K = m_self.shape[1]
     n_other_pad = p.n_other_blocks * p.bs_other
     parts = _PARTS[precision]
@@ -380,6 +448,30 @@ def gaussian_bias_stats(
     aug = jnp.concatenate([m_other, b_other[:, None]], axis=1)
     if p.reordered:
         aug = jnp.take(aug, p.other_old_of_new, axis=0)
+    head_outs = []
+    if head:
+        from pmf_tpu.ops.dense_head import head_products, head_products_t
+
+        for tier in head:
+            rs = tier.row_start
+            if head_side == "user":
+                n_h, sl = tier.hip, slice(0, tier.hi)
+            else:
+                n_h, sl = tier.hu, slice(rs, rs + tier.hu)
+            tabf = aug[sl].astype(jnp.float32)
+            tab = jnp.pad(tabf, ((0, n_h - tabf.shape[0]), (0, 0)))
+            if head_side == "user":
+                mp, _ = head_products(tier, tab, None, precision)
+                x_sum = tier.x_sum_user
+                start = rs
+            else:
+                mp, _ = head_products_t(tier, tab, None, precision)
+                mp = mp[: tier.hi]
+                x_sum = tier.x_sum_item[: tier.hi]
+                start = 0
+            head_outs.append(
+                (start, jnp.concatenate([mp, x_sum[:, None]], axis=1))
+            )
     if not highest:
         aug = decompose_bf16(aug, parts)
     aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
@@ -391,22 +483,76 @@ def gaussian_bias_stats(
     )
     out = run_segmented(kernel, p, None, aug, K + 2, interpret=interpret,
                         mesh=mesh)
+    for start, h_out in head_outs:
+        out = out.at[start : start + h_out.shape[0]].add(h_out)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     S_m, S_b, S_x = out[:, :K], out[:, K], out[:, K + 1]
     return S_x - S_b - jnp.sum(m_self * S_m, axis=1)
 
+def _diag_head_out(tier, aug, selftab, K, use_bias, precision, head_side):
+    """One stair tier's dense contribution for the diag kernel's
+    [S_mr | S_sq | S_mm] output.  The Jacobi cross term
+    sum_e m_o <m_s, m_o> rides a packed tri(m_o m_o^T) payload column
+    group: unpack(M @ tri_mm) @ m_self.  Returns (start_row, out)."""
+    from pmf_tpu.ops.dense_head import head_products, head_products_t
+
+    rs = tier.row_start
+    if head_side == "user":
+        n_h, sl = tier.hip, slice(0, tier.hi)
+    else:
+        n_h, sl = tier.hu, slice(rs, rs + tier.hu)
+    augf = aug[sl].astype(jnp.float32)
+    af = jnp.pad(augf, ((0, n_h - augf.shape[0]), (0, 0)))
+    m_o = af[:, :K]
+    sq_o = af[:, K : 2 * K]
+    b_o = af[:, 2 * K]
+    tri_mm = pack_tri(
+        (m_o[:, :, None] * m_o[:, None, :]).reshape(-1, K * K), K
+    )
+    tab = jnp.concatenate(
+        [m_o, b_o[:, None] * m_o, sq_o, m_o * m_o, tri_mm], axis=1
+    )
+    if head_side == "user":
+        mp, xp = head_products(tier, tab, m_o, precision)
+        rows = tier.hu
+        start = rs
+        self_sl = slice(rs, rs + rows)
+    else:
+        mp, xp = head_products_t(tier, tab, m_o, precision)
+        mp, xp = mp[: tier.hi], xp[: tier.hi]
+        rows = tier.hi
+        start = 0
+        self_sl = slice(0, rows)
+    stf = selftab[self_sl].astype(jnp.float32)
+    m_s = stf[:, :K]
+    b_s = stf[:, K]
+    S_m = mp[:, :K]
+    S_bm = mp[:, K : 2 * K]
+    S_sq = mp[:, 2 * K : 3 * K]
+    S_mm = mp[:, 3 * K : 4 * K]
+    pred_term = jnp.einsum(
+        "rkl,rl->rk", unpack_tri(mp[:, 4 * K :], K), m_s
+    )
+    S_mr = xp - pred_term
+    if use_bias:
+        S_mr = S_mr - b_s[:, None] * S_m - S_bm
+    return start, jnp.concatenate([S_mr, S_sq, S_mm], axis=1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("use_bias", "precision", "interpret", "mesh")
+    jax.jit,
+    static_argnames=("use_bias", "precision", "interpret", "mesh", "head_side"),
 )
 def gaussian_diag_stats(
     m_other, v_other, m_self, b_self, b_other, p: BlockedPass,
     use_bias: bool = True, precision: str = "high", interpret: bool = False,
-    mesh=None,
+    mesh=None, head=None, head_side: str = "user",
 ):
     """Return (S_mr, S_sq, S_mm), each (n_self, K), for one diag-covariance
     factor block: S_mr = sum m_o (resid - pred), S_sq = sum (v_o + m_o^2),
-    S_mm = sum m_o^2."""
+    S_mm = sum m_o^2.  ``head``: dense-corner contribution of a hybrid
+    layout (all three statistics are linear in per-other payloads)."""
     K = m_other.shape[1]
     n_other_pad = p.n_other_blocks * p.bs_other
     n_self_pad = p.n_self_blocks * p.bs_self
@@ -420,6 +566,13 @@ def gaussian_diag_stats(
     if p.reordered:
         aug = jnp.take(aug, p.other_old_of_new, axis=0)
         selftab = jnp.take(selftab, p.self_old_of_new, axis=0)
+    head_outs = []
+    if head:
+        head_outs = [
+            _diag_head_out(tier, aug, selftab, K, use_bias, precision,
+                           head_side)
+            for tier in head
+        ]
     if not highest:
         aug = decompose_bf16(aug, parts)
         selftab = decompose_bf16(selftab, parts)
@@ -433,6 +586,8 @@ def gaussian_diag_stats(
     )
     out = run_segmented(kernel, p, selftab, aug, 3 * K,
                         interpret=interpret, mesh=mesh)
+    for start, h_out in head_outs:
+        out = out.at[start : start + h_out.shape[0]].add(h_out)
     if p.reordered:
         out = jnp.take(out, p.self_new_of_old, axis=0)
     return out[:, :K], out[:, K : 2 * K], out[:, 2 * K :]

@@ -1,0 +1,291 @@
+"""Dense-head hybrid engine: the (top-users x top-items) corner computed
+by dense matmuls must combine with the Pallas tail passes to reproduce the
+flat engine's statistics exactly (up to engine-parity tolerance), including
+duplicate (u, i) edges and zero ratings."""
+
+import numpy as np
+import pytest
+
+from pmf_tpu.data.blocked import build_blocked
+from pmf_tpu.data.coo import build_ratings
+from pmf_tpu.models import hpf, poisson_mf
+
+
+def _hpf_states(u, i, x, n_users, n_items, head, iters=3):
+    cfg = hpf.HPFConfig(n_factors=6, verbose=False)
+    hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
+    flat = build_ratings(u, i, x, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, x, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=head, head_r0=4,
+    )
+    s_flat = hpf.init_state(n_users, n_items, cfg)
+    s_blk = dict(s_flat)
+    for _ in range(iters):
+        s_flat = hpf.sweep(s_flat, flat, *hyper)
+        s_blk = hpf.sweep_blocked(
+            s_blk, blocked, flat.user_counts, flat.item_counts, *hyper,
+            precision="high", interpret=True,
+        )
+    return s_flat, s_blk, blocked
+
+
+def test_hpf_head_matches_flat(small_ratings):
+    u, i, x = small_ratings
+    s_flat, s_blk, blocked = _hpf_states(u, i, x + 1.0, 120, 80, head=(16, 24))
+    assert blocked.head is not None and blocked.head[0].hu == 16
+    # head must actually hold edges (top-count rows are the busiest)
+    assert float(np.asarray(blocked.head[0].m, np.float32).sum()) > 100
+    for k in s_flat:
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def test_hpf_all_edges_in_head(small_ratings):
+    """hu x hi covering every row: the tail passes are empty and the whole
+    sweep is dense."""
+    u, i, x = small_ratings
+    s_flat, s_blk, blocked = _hpf_states(u, i, x + 1.0, 120, 80, head=(120, 80))
+    assert int(np.asarray(blocked.head[0].m, np.float32).sum()) == len(u)
+    assert blocked.by_user.nnz == 0
+    for k in s_flat:
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def test_poisson_head_duplicates_and_zeros():
+    """Duplicate (u, i) pairs and x == 0 edges: X sums ratings, M carries
+    multiplicity; statistics must match the flat engine edge-for-edge."""
+    rng = np.random.default_rng(0)
+    n_users, n_items, nnz = 60, 40, 900
+    u = rng.integers(0, n_users, nnz)
+    i = rng.integers(0, n_items, nnz)
+    x = rng.integers(0, 5, nnz).astype(np.float32)  # includes zeros
+    # force duplicates, including a duplicated zero-rating pair
+    u[:40] = u[40:80]
+    i[:40] = i[40:80]
+    x[0] = 0.0
+    x[40] = 0.0
+
+    cfg = poisson_mf.PoissonMFConfig(n_factors=5, verbose=False)
+    flat = build_ratings(u, i, x, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, x, n_users=n_users, n_items=n_items,
+        block_users=16, block_items=16, chunk_size=16, group=2,
+        reorder=True, head=(12, 20), head_r0=4,
+    )
+    assert blocked.head is not None
+    assert float(np.asarray(blocked.head[0].m).max()) >= 2  # duplicates landed
+
+    s_flat = poisson_mf.init_state(n_users, n_items, cfg)
+    s_blk = dict(s_flat)
+    for _ in range(3):
+        s_flat = poisson_mf.sweep(s_flat, flat, cfg.a0, cfg.b0, extended=False)
+        s_blk = poisson_mf.sweep_blocked(
+            s_blk, blocked, flat.user_counts, flat.item_counts, cfg.a0, cfg.b0,
+            precision="high", interpret=True,
+        )
+    for k in s_flat:
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def test_noninteger_ratings_use_lo_part(small_ratings):
+    """Centered / fractional ratings are not bf16-exact: the head stores a
+    bf16 remainder plane and stays exact to f32."""
+    u, i, x = small_ratings
+    xf = x.astype(np.float32) + np.float32(0.3333)
+    blocked = build_blocked(
+        u, i, xf, n_users=120, n_items=80,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=(16, 24), head_r0=4,
+    )
+    h = blocked.head[0]
+    assert h.x_lo is not None
+    X = np.asarray(h.x_hi, np.float32) + np.asarray(h.x_lo, np.float32)
+    # cell sums reproduce the f64 scatter at f32 resolution
+    assert np.isfinite(X).all()
+    np.testing.assert_allclose(float(X.sum()), float(h.x_sum_user.sum()), rtol=1e-5)
+
+
+def test_hpf_staircase_tiers_match_flat(small_ratings):
+    """Multi-tier staircase: tier 0 = top-8 users x 40 items, tier 1 =
+    users 8..32 x top 12 items — disjoint bands, both consumed alongside
+    the Pallas tail."""
+    u, i, x = small_ratings
+    s_flat, s_blk, blocked = _hpf_states(
+        u, i, x + 1.0, 120, 80, head=[(0, 8, 40), (8, 24, 12)]
+    )
+    assert len(blocked.head) == 2
+    assert blocked.head[1].row_start == 8
+    total_head = sum(
+        float(np.asarray(t.m, np.float32).sum()) for t in blocked.head
+    )
+    assert total_head > 100
+    assert total_head + blocked.by_user.nnz == len(u)
+    for k in s_flat:
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def test_gaussian_staircase_tiers_match_flat(small_ratings):
+    u, i, x = small_ratings
+    xc = x.astype(np.float32) - np.float32(x.mean())
+    s_flat, s_blk = _gaussian_states(
+        u, i, xc, 120, 80, [(0, 8, 40), (8, 24, 12)], True, "lagged"
+    )
+    for k in ("m_theta", "m_beta", "V_theta", "V_beta", "b_user", "b_item"):
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=5e-3, atol=2e-5, err_msg=k,
+        )
+
+
+def test_auto_head_declines_small_data(small_ratings):
+    u, i, x = small_ratings
+    blocked = build_blocked(
+        u, i, x, n_users=120, n_items=80,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head="auto",
+    )
+    assert blocked.head is None  # nnz far below the auto threshold
+
+
+def test_extended_poisson_head_matches_flat(small_ratings):
+    """Extended variant: the head's allocation reuses the plain form
+    (scalars cancel in the multinomial), the rate stat is psi-weighted,
+    and the Gauss-Seidel scalar refresh rides the same linear product."""
+    import jax.numpy as jnp
+
+    u, i, x = small_ratings
+    n_users, n_items = 120, 80
+    xs = x + 1.0
+    cfg = poisson_mf.PoissonMFConfig(n_factors=5, extended=True, verbose=False)
+    flat = build_ratings(u, i, xs, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, xs, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=(16, 24), head_r0=4,
+    )
+    assert blocked.head is not None
+    sx_user = jnp.asarray(np.bincount(u, weights=xs, minlength=n_users),
+                          jnp.float32)
+    sx_item = jnp.asarray(np.bincount(i, weights=xs, minlength=n_items),
+                          jnp.float32)
+
+    s_flat = poisson_mf.init_state(n_users, n_items, cfg)
+    s_blk = dict(s_flat)
+    for _ in range(3):
+        s_flat = poisson_mf.sweep(s_flat, flat, cfg.a0, cfg.b0, extended=True)
+        s_blk = poisson_mf.sweep_blocked_extended(
+            s_blk, blocked, flat.user_counts, flat.item_counts,
+            sx_user, sx_item, cfg.a0, cfg.b0,
+            precision="high", interpret=True,
+        )
+    for k in s_flat:
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=5e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def _gaussian_states(u, i, x, n_users, n_items, head, use_bias, bias_update,
+                     iters=3):
+    from pmf_tpu.models import gaussian_mf
+
+    cfg = gaussian_mf.GaussianMFConfig(
+        n_factors=5, sigma2=0.5, eta_theta2=0.4, eta_beta2=0.4, eta_bias2=0.7,
+        use_bias=use_bias, verbose=False,
+    )
+    flat = build_ratings(u, i, x, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, x, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=head, head_r0=4,
+    )
+    assert blocked.head is not None
+    s_flat = gaussian_mf.init_state(n_users, n_items, cfg)
+    s_blk = dict(s_flat)
+    for _ in range(iters):
+        s_flat = gaussian_mf.sweep(
+            s_flat, flat, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+            cfg.eta_bias2, cfg.n_factors, use_bias, bias_update=bias_update,
+        )
+        s_blk = gaussian_mf.sweep_blocked(
+            s_blk, blocked, flat.user_counts, flat.item_counts,
+            cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
+            use_bias, precision="high", interpret=True,
+            bias_update=bias_update,
+        )
+    return s_flat, s_blk
+
+
+@pytest.mark.parametrize(
+    "use_bias,bias_update",
+    [(True, "exact"), (True, "lagged"), (False, "exact")],
+)
+def test_gaussian_head_matches_flat(small_ratings, use_bias, bias_update):
+    """All three full-covariance Gaussian modes (exact biases via the
+    dedicated bias passes, lagged biases riding the factor payload, and
+    no-bias) must match the flat sweep with a dense head in the layout."""
+    u, i, x = small_ratings
+    xc = x.astype(np.float32) - np.float32(x.mean())  # centered, non-bf16-exact
+    s_flat, s_blk = _gaussian_states(
+        u, i, xc, 120, 80, (16, 24), use_bias, bias_update
+    )
+    keys = ["m_theta", "m_beta", "V_theta", "V_beta"]
+    if use_bias:
+        keys += ["b_user", "b_item"]
+    for k in keys:
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=5e-3, atol=2e-5, err_msg=k,
+        )
+
+
+@pytest.mark.parametrize("use_bias", [True, False])
+def test_gaussian_diag_head_matches_flat(small_ratings, use_bias):
+    """Diag-covariance mode: the Jacobi cross term rides a packed
+    tri(m m^T) payload column group in the head products."""
+    from pmf_tpu.models import gaussian_mf
+
+    u, i, x = small_ratings
+    xc = x.astype(np.float32) - np.float32(x.mean())
+    n_users, n_items = 120, 80
+    cfg = gaussian_mf.GaussianMFConfig(
+        n_factors=5, sigma2=0.5, eta_theta2=0.4, eta_beta2=0.4, eta_bias2=0.7,
+        covariance="diag", use_bias=use_bias, verbose=False,
+    )
+    flat = build_ratings(u, i, xc, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, xc, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=(16, 24), head_r0=4,
+    )
+    assert blocked.head is not None
+    s_flat = gaussian_mf.init_state(n_users, n_items, cfg)
+    s_blk = dict(s_flat)
+    for _ in range(3):
+        s_flat = gaussian_mf.sweep(
+            s_flat, flat, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+            cfg.eta_bias2, cfg.n_factors, use_bias, covariance="diag",
+        )
+        s_blk = gaussian_mf.sweep_blocked(
+            s_blk, blocked, flat.user_counts, flat.item_counts,
+            cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
+            use_bias, precision="high", interpret=True, covariance="diag",
+        )
+    for k in ("m_theta", "m_beta", "V_theta", "V_beta"):
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=5e-3, atol=2e-5, err_msg=k,
+        )
