@@ -150,7 +150,7 @@ def bench_hpf(u, i, x, n_users, n_items, nnz, K, iters, rtt):
         else:
             print(f"# hpf {engine}: {results[engine]/1e6:.0f}M updates/s",
                   file=sys.stderr)
-    return results, failures, blocked, flat
+    return results, failures, hybrid, flat
 
 
 def bench_ext_poisson(blocked, flat, nnz, K, iters, rtt):
@@ -238,7 +238,7 @@ def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
     out = {"updates_per_sec_4block": None, "updates_per_sec_factor_only": None,
            "iter_seconds": None, "tiles": f"B={block} C={chunk} G={group}",
            "engines_updates_per_sec_4block": {}}
-    out["_layout"] = (blocked, flat)
+    out["_layout"] = (hybrid, flat)
     # "high_lagged": bias_update="lagged" — bias statistics ride the factor
     # passes (same fixed point as exact, tests/test_gaussian_lagged.py).
     # "hybrid_*": dense-head + Pallas-tail layout (the production default).

@@ -385,7 +385,9 @@ def _pick_tiers(
         return []
     budget_cells = head_bytes // cell_bytes
     hi0 = min(n_items, 65536)
-    # Equal-cells stair: tier t spends ~3/4 of tier 0's cells.
+    # (hi pads to 512 columns in _build_head; the estimate below ignores
+    # the sub-2% padding.)  Equal-cells stair: tier t spends ~3/4 of
+    # tier 0's cells.
     hu0 = int(budget_cells / (hi0 * (1 + 0.75 * (max_tiers - 1)))) // r0 * r0
     if hu0 < r0:
         hu = min((budget_cells // max(hi0, 1)) // r0 * r0, (n_users // r0) * r0)
@@ -420,8 +422,11 @@ def _build_head(
     ON DEVICE — only the head edge triples cross the host->HBM link, not
     gigabytes of dense cells (the axon tunnel makes bulk host transfers
     the build bottleneck otherwise).  Duplicate (u, i) pairs sum into X
-    and count into M."""
-    hip = -(-hi // 128) * 128
+    and count into M.
+
+    Columns pad to a 512 multiple so the fused allocation kernel can tile
+    512-wide (128-wide tiles made the grid overhead-bound)."""
+    hip = -(-hi // 512) * 512
     idx = jnp.asarray(nu.astype(np.int32) * np.int32(hip) + ni.astype(np.int32))
     xs = jnp.asarray(x.astype(np.float32))
 

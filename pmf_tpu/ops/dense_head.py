@@ -31,8 +31,11 @@ S_other only (W == 0 there but M > 0) — matching the edge engines.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from pmf_tpu.data.blocked import DenseHead
 
@@ -67,36 +70,121 @@ def _cell_arrays(chunk):
     return th, x32, mm.astype(jnp.float32)
 
 
+def _col_tile(hip: int) -> int:
+    for c in (512, 256, 128):
+        if hip % c == 0:
+            return c
+    return hip
+
+
+def _fused_kernel(th_ref, beta_ref, xh_ref, m_ref, *rest, k, floor, has_lo,
+                  prec, item_side):
+    """Fused allocation kernel: rate -> W -> both segment products in VMEM.
+    Nothing but the X/M cell tiles is ever read from or written to HBM —
+    the XLA formulation materializes the (rows, hip) W matrix between its
+    two matmuls, which dominates the dense pass at scale."""
+    lo_ref = rest[0] if has_lo else None
+    out_ref = rest[-1]
+    inner = pl.program_id(1)
+
+    @pl.when(inner == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    th = th_ref[:]
+    bt = beta_ref[:]
+    R = jax.lax.dot_general(
+        th, bt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (R0, C0)
+    x = xh_ref[:].astype(jnp.float32)
+    if has_lo:
+        x = x + lo_ref[:].astype(jnp.float32)
+    m = m_ref[:].astype(jnp.float32)
+    W = jnp.where(m > 0, x / jnp.maximum(R, jnp.float32(floor)), 0.0)
+    if item_side:
+        contract = (((0,), (0,)), ((), ()))  # sum over the user rows
+        sa = jax.lax.dot_general(W, th, contract,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        so = jax.lax.dot_general(m, th, contract,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+    else:
+        contract = (((1,), (0,)), ((), ()))  # sum over the item cols
+        sa = jax.lax.dot_general(W, bt, contract,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        so = jax.lax.dot_general(m, bt, contract,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+    out_ref[:] += jnp.concatenate([sa, so], axis=1)
+
+
+def _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
+                          interpret, item_side):
+    """Run the fused kernel over (row-block, col-tile) grid.  Returns the
+    (rows, 2K) [S_alloc' | S_other] accumulator: rows = hu (user side) or
+    hip (item side); S_alloc' lacks the final elementwise self factor."""
+    K = theta_h.shape[1]
+    hip = head.m.shape[1]
+    R0 = head.r0
+    C0 = _col_tile(hip)
+    n_r = head.hu // R0
+    n_c = hip // C0
+    has_lo = head.x_lo is not None
+    prec = _prec(precision)
+
+    th_spec = pl.BlockSpec((R0, K), lambda a, b: ((b if item_side else a), 0))
+    beta_spec = pl.BlockSpec((C0, K), lambda a, b: ((a if item_side else b), 0))
+    cell = pl.BlockSpec(
+        (R0, C0), lambda a, b: ((b, a) if item_side else (a, b))
+    )
+    if item_side:
+        grid = (n_c, n_r)
+        out_rows = C0
+        out_spec = pl.BlockSpec((C0, 2 * K), lambda a, b: (a, 0))
+        out_shape = jax.ShapeDtypeStruct((hip, 2 * K), jnp.float32)
+    else:
+        grid = (n_r, n_c)
+        out_rows = R0
+        out_spec = pl.BlockSpec((R0, 2 * K), lambda a, b: (a, 0))
+        out_shape = jax.ShapeDtypeStruct((head.hu, 2 * K), jnp.float32)
+    del out_rows
+    in_specs = [th_spec, beta_spec, cell, cell] + ([cell] if has_lo else [])
+    operands = [theta_h, beta_h, head.x_hi, head.m] + (
+        [head.x_lo] if has_lo else []
+    )
+    kernel = functools.partial(
+        _fused_kernel, k=K, floor=rate_floor, has_lo=has_lo, prec=prec,
+        item_side=item_side,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+
+
 def poisson_head_stats(
     theta_h: jax.Array,
     beta_h: jax.Array,
     head: DenseHead,
     rate_floor: float,
     precision: str = "high",
+    interpret: bool = False,
 ):
     """User-side head statistics: (S_alloc, S_other), both (hu, K).
 
     theta_h: (hu, K) head-user rows, beta_h: (hip, K) head-item rows
     (zero-padded past hi), both in NEW (count-reordered) id space."""
-    prec = _prec(precision)
     K = theta_h.shape[1]
-    floor = jnp.float32(rate_floor)
-
-    def body(_, chunk):
-        th, x32, m32 = _cell_arrays(chunk)
-        R = jax.lax.dot_general(
-            th, beta_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        W = jnp.where(m32 > 0, x32 / jnp.maximum(R, floor), 0.0)
-        sa = th * jax.lax.dot(W, beta_h, preferred_element_type=jnp.float32,
-                              precision=prec)
-        so = jax.lax.dot(m32, beta_h, preferred_element_type=jnp.float32,
-                         precision=prec)
-        return None, (sa, so)
-
-    _, (sa, so) = jax.lax.scan(body, None, _chunks(head, theta_h))
-    return sa.reshape(head.hu, K), so.reshape(head.hu, K)
+    out = _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
+                                interpret, item_side=False)
+    return theta_h * out[:, :K], out[:, K:]
 
 
 def poisson_head_stats_t(
@@ -105,35 +193,15 @@ def poisson_head_stats_t(
     head: DenseHead,
     rate_floor: float,
     precision: str = "high",
+    interpret: bool = False,
 ):
-    """Item-side head statistics via transposed contractions of the same
-    row-chunked arrays: (S_alloc, S_other), both (hip, K) — rows past hi
-    are exact zeros (M is zero there)."""
-    prec = _prec(precision)
+    """Item-side head statistics via the transposed fused kernel:
+    (S_alloc, S_other), both (hip, K) — rows past hi are exact zeros
+    (M is zero there)."""
     K = theta_h.shape[1]
-    hip = head.m.shape[1]
-    floor = jnp.float32(rate_floor)
-    contract0 = (((0,), (0,)), ((), ()))
-
-    def body(carry, chunk):
-        sa, so = carry
-        th, x32, m32 = _cell_arrays(chunk)
-        R = jax.lax.dot_general(
-            th, beta_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        W = jnp.where(m32 > 0, x32 / jnp.maximum(R, floor), 0.0)
-        sa = sa + jax.lax.dot_general(
-            W, th, contract0, preferred_element_type=jnp.float32, precision=prec
-        )
-        so = so + jax.lax.dot_general(
-            m32, th, contract0, preferred_element_type=jnp.float32, precision=prec
-        )
-        return (sa, so), None
-
-    zeros = jnp.zeros((hip, K), jnp.float32)
-    (sa, so), _ = jax.lax.scan(body, (zeros, zeros), _chunks(head, theta_h))
-    return beta_h * sa, so
+    out = _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
+                                interpret, item_side=True)
+    return beta_h * out[:, :K], out[:, K:]
 
 
 def ext_head_stats(
@@ -230,6 +298,42 @@ def _xm32(chunk):
     return x32, mm.astype(jnp.float32)
 
 
+def _parts_of(precision: str) -> int:
+    return 1 if precision in ("fast", "fast_bf16") else 2
+
+
+def _dot_parts(A: jax.Array, B: jax.Array, parts: int, transpose_a: bool):
+    """bf16-part matmul: decompose both f32 operands into ``parts`` exact
+    bf16 column groups and sum the cross products with i + j < parts —
+    single-pass MXU matmuls at ~2^-16 relative error for parts=2 (the
+    same tier as the edge kernels' "high" payloads).  HIGHEST-precision
+    f32 dots run at 1/6 of MXU peak, which dominated the wide-payload
+    Gaussian head products.  A: (r, n) contracting n (or (n, r) with
+    ``transpose_a``), B: (n, c)."""
+    from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16
+
+    if parts == 1:
+        Ap, Bp = [A.astype(jnp.bfloat16)], [B.astype(jnp.bfloat16)]
+    else:
+        n = A.shape[1]
+        c = B.shape[1]
+        Ad = decompose_bf16(A, parts)
+        Bd = decompose_bf16(B, parts)
+        Ap = [Ad[:, i * n : (i + 1) * n] for i in range(parts)]
+        Bp = [Bd[:, j * c : (j + 1) * c] for j in range(parts)]
+    contract = (((0,), (0,)), ((), ())) if transpose_a else (((1,), (0,)), ((), ()))
+    out = None
+    for i, Ai in enumerate(Ap):
+        for j, Bj in enumerate(Bp):
+            if i + j >= max(len(Ap), len(Bp)):
+                continue
+            term = jax.lax.dot_general(
+                Ai, Bj, contract, preferred_element_type=jnp.float32
+            )
+            out = term if out is None else out + term
+    return out
+
+
 def head_products(
     head: DenseHead,
     other_tab: jax.Array,
@@ -242,17 +346,15 @@ def head_products(
     Every Gaussian-family edge statistic is linear in per-other-row
     payloads with coefficient 1 (multiplicity) or x, so these two products
     cover them all.  Returns ((hu, W), (hu, Wx) or None)."""
-    prec = _prec(precision)
+    parts = _parts_of(precision)
 
     def body(_, chunk):
         x32, m32 = _xm32(chunk)
-        mp = jax.lax.dot(m32, other_tab, preferred_element_type=jnp.float32,
-                         precision=prec)
+        mp = _dot_parts(m32, other_tab, parts, transpose_a=False)
         xp = (
             None
             if x_tab is None
-            else jax.lax.dot(x32, x_tab, preferred_element_type=jnp.float32,
-                             precision=prec)
+            else _dot_parts(x32, x_tab, parts, transpose_a=False)
         )
         return None, (mp, xp)
 
@@ -274,11 +376,10 @@ def head_products_t(
 
     self_tab: (hu, W) per-head-user payload, x_tab: (hu, Wx) or None.
     Returns ((hip, W), (hip, Wx) or None); rows past hi are exact zeros."""
-    prec = _prec(precision)
+    parts = _parts_of(precision)
     nc = head.hu // head.r0
     r0 = head.r0
     hip = head.m.shape[1]
-    contract0 = (((0,), (0,)), ((), ()))
     with_x = x_tab is not None
     xs = _xm_chunks(head) + (self_tab.reshape(nc, r0, -1),)
     if with_x:
@@ -289,14 +390,9 @@ def head_products_t(
         n_tail = 2 if with_x else 1
         x32, m32 = _xm32(chunk[:-n_tail])
         st = chunk[-n_tail]
-        mp = mp + jax.lax.dot_general(
-            m32, st, contract0, preferred_element_type=jnp.float32, precision=prec
-        )
+        mp = mp + _dot_parts(m32, st, parts, transpose_a=True)
         if with_x:
-            xp = xp + jax.lax.dot_general(
-                x32, chunk[-1], contract0, preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            xp = xp + _dot_parts(x32, chunk[-1], parts, transpose_a=True)
         return (mp, xp), None
 
     init = (
