@@ -119,7 +119,7 @@ def bench_hpf(u, i, x, n_users, n_items, nnz, K, iters, rtt):
     # default (fit's head="auto").
     hybrid = build_blocked(u, i, x, n_users=n_users, n_items=n_items,
                            block_users=512, block_items=512, reorder=True,
-                           head="auto")
+                           head="auto", tail_group_cap=32)
 
     results, failures = {}, {}
     for engine, prec in (
@@ -233,7 +233,7 @@ def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
     hybrid = build_blocked(u, i, x, n_users=n_users, n_items=n_items,
                            block_users=block, block_items=block,
                            chunk_size=chunk, group=group, reorder=True,
-                           head="auto")
+                           head="auto", tail_group_cap=group)
 
     out = {"updates_per_sec_4block": None, "updates_per_sec_factor_only": None,
            "iter_seconds": None, "tiles": f"B={block} C={chunk} G={group}",

@@ -193,13 +193,26 @@ def _build_pass(
     # Segmentation: uniform segments of seg_chunks chunks, preferring cuts
     # at self-block boundaries (straddling allowed for oversized blocks).
     # Block-padded counts are group multiples, so boundary cuts keep group
-    # parity automatically.
-    seg_max = min(seg_chunks, total_padded)
+    # parity automatically.  The block SPAN per segment is also bounded:
+    # the kernel's per-segment output window is max-span x bs_self rows,
+    # and sparse tails (few chunks per block) would otherwise span dozens
+    # of blocks per segment and blow the scoped-VMEM budget when XLA
+    # places the window in VMEM.
+    max_span = 16  # blocks per segment
+    # Uniform segment length targets the span (seg length ~ span x average
+    # chunks/block) so span-cut segments stay mostly full — otherwise
+    # sparse layouts would pad every segment with dummy chunks.
+    avg_per_block = max(total_padded / max(n_self_blocks, 1), 1.0)
+    seg_max = min(seg_chunks, total_padded,
+                  max(int(max_span * avg_per_block), group))
     seg_max = max(group, (seg_max // group) * group)
     ranges = []
     start = 0
     while start < total_padded:
         end = min(start + seg_max, total_padded)
+        span_end = int(np.searchsorted(pseq_sb, pseq_sb[start] + max_span,
+                                       side="left"))
+        end = min(end, max(span_end, start + 1))
         if end < total_padded:
             cut = end
             while cut > start + 1 and pseq_sb[cut] == pseq_sb[cut - 1]:
@@ -341,7 +354,7 @@ class BlockedCOO:
 
 
 def auto_tiles(n_users: int, n_items: int, nnz: int, group_cap: int = 16,
-               block: int = 512) -> dict:
+               block: int = 512, tail: bool = False) -> dict:
     """Pick blocked-layout tile parameters from expected tile occupancy.
 
     The only data-dependent hazard of the fixed layout is CHUNK padding:
@@ -351,10 +364,16 @@ def auto_tiles(n_users: int, n_items: int, nnz: int, group_cap: int = 16,
     edges over 25k x 178k rows gives e ~ 41 at B=512), the chunk shrinks to
     the nearest power of two in [16, 128] and the group grows to keep
     per-grid-step work constant (G*C = 2048, G capped for Mosaic compile
-    stability).  Dense ML-25M-like shapes keep the tuned C=128/G=16."""
+    stability).  Dense ML-25M-like shapes keep the tuned C=128/G=16.
+
+    ``tail``: size for a hybrid layout's residual edges, whose per-tile
+    occupancy is skewed (the dense head removed the uniform mass): shrink
+    while e < 2*chunk (measured: the ML-25M tail at e~137 runs 9% faster
+    at C=64/G=32 than C=128/G=16, docs/PERFORMANCE.md)."""
     e = nnz * block * block / max(n_users * n_items, 1)
     chunk = 128
-    while chunk > 16 and e < chunk:
+    factor = 2 if tail else 1
+    while chunk > 16 and e < factor * chunk:
         chunk //= 2
     group = min(group_cap, max(1, 2048 // chunk))
     return dict(block_users=block, block_items=block, chunk_size=chunk,
@@ -483,14 +502,21 @@ def build_blocked(
     head=None,
     head_bytes: int = 2 << 30,
     head_r0: int = 512,
+    tail_group_cap: int | None = None,
 ) -> BlockedCOO:
-    """``head``: None = pure edge layout; "auto" = size a dense head from
-    the data (requires ``reorder``); (hu, hi) = explicit head rows/cols
-    (hu a multiple of ``head_r0``).  With a head, edges inside the
-    (top-hu users) x (top-hi items) reordered corner are stored densely
-    (`DenseHead`) and EXCLUDED from the edge passes; engines must add the
-    dense-head statistics (`pmf_tpu.ops.dense_head`) — the blocked sweep
-    wrappers do this automatically."""
+    """``head``: None = pure edge layout; "auto" = size a dense staircase
+    from the data (requires ``reorder``); (hu, hi) = explicit head
+    rows/cols (hu a multiple of ``head_r0``); a list of (row_start, rows,
+    hi) = explicit tiers.  With a head, edges inside the dense tiers are
+    stored as cell arrays (`DenseHead`) and EXCLUDED from the edge passes;
+    engines must add the dense-head statistics (`pmf_tpu.ops.dense_head`)
+    — the blocked sweep wrappers do this automatically.
+
+    ``tail_group_cap``: when set and a head is engaged, re-derive
+    chunk_size/group for the TAIL passes from the residual edge count
+    (`auto_tiles(tail=True)` — the tail is several times sparser than the
+    full data, so full-density tiles are padding-bound), with this Mosaic
+    group cap."""
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     x = np.asarray(x)
@@ -564,6 +590,10 @@ def build_blocked(
         in_head |= mask
     dense = tuple(heads)
     tu, ti, tx = nu[~in_head], ni[~in_head], x[~in_head]
+    if tail_group_cap is not None:
+        t = auto_tiles(n_users, n_items, len(tu), group_cap=tail_group_cap,
+                       block=block_users, tail=True)
+        chunk_size, group = t["chunk_size"], t["group"]
     # Tail passes are built on already-relabeled ids (reorder=False keeps
     # them); the GLOBAL permutations attach afterwards so kernel wrappers
     # permute tables / un-permute stats exactly as in the headless layout.

@@ -612,7 +612,8 @@ class GaussianMF(FactorModel):
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
                                     dtype=self._dtype, reorder=True,
                                     block_users=bs, block_items=bs,
-                                    chunk_size=cs, group=grp, head="auto")
+                                    chunk_size=cs, group=grp, head="auto",
+                                    tail_group_cap=cap)
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"

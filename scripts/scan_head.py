@@ -43,6 +43,7 @@ def main():
             reorder=True,
             head=None if gb == 0 else "auto",
             head_bytes=int(gb * (1 << 30)) or 1,
+            tail_group_cap=32,
         )
         t_build = time.perf_counter() - t0
         h = blocked.head
