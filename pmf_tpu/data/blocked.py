@@ -391,6 +391,7 @@ def _pick_tiers(
     min_nnz: int = 4_000_000,
     min_cover: float = 0.02,
     max_tiers: int = 4,
+    row_mult: int = 1,
 ) -> list:
     """Auto staircase sizing: tier 0 covers the top users across all items
     (<= 64k columns); each further tier quarters the item width and spends
@@ -404,19 +405,23 @@ def _pick_tiers(
         return []
     budget_cells = head_bytes // cell_bytes
     hi0 = min(n_items, 65536)
+    # Row counts round to r0 * row_mult so a fit mesh of row_mult devices
+    # can shard every tier's row chunks evenly (dense_head sharded path).
+    unit = r0 * max(row_mult, 1)
     # (hi pads to 512 columns in _build_head; the estimate below ignores
     # the sub-2% padding.)  Equal-cells stair: tier t spends ~3/4 of
     # tier 0's cells.
-    hu0 = int(budget_cells / (hi0 * (1 + 0.75 * (max_tiers - 1)))) // r0 * r0
-    if hu0 < r0:
-        hu = min((budget_cells // max(hi0, 1)) // r0 * r0, (n_users // r0) * r0)
-        tiers = [(0, hu, hi0)] if hu >= r0 else []
+    hu0 = int(budget_cells / (hi0 * (1 + 0.75 * (max_tiers - 1)))) // unit * unit
+    if hu0 < unit:
+        hu = min((budget_cells // max(hi0, 1)) // unit * unit,
+                 (n_users // unit) * unit)
+        tiers = [(0, hu, hi0)] if hu >= unit else []
     else:
         tiers = []
         row, band, hi = 0, hu0, hi0
         for t in range(max_tiers):
-            rows = min(band, ((n_users - row) // r0) * r0)
-            if rows < r0 or hi < 128:
+            rows = min(band, ((n_users - row) // unit) * unit)
+            if rows < unit or hi < 128:
                 break
             tiers.append((row, rows, hi))
             row += rows
@@ -503,6 +508,7 @@ def build_blocked(
     head_bytes: int = 2 << 30,
     head_r0: int = 512,
     tail_group_cap: int | None = None,
+    head_row_mult: int = 1,
 ) -> BlockedCOO:
     """``head``: None = pure edge layout; "auto" = size a dense staircase
     from the data (requires ``reorder``); (hu, hi) = explicit head
@@ -551,7 +557,8 @@ def build_blocked(
     cell_bytes = 4 if exact else 6  # x_hi + m (+ x_lo)
     if head == "auto":
         r0 = head_r0
-        tiers = _pick_tiers(nu, ni, n_users, n_items, head_bytes, cell_bytes, r0)
+        tiers = _pick_tiers(nu, ni, n_users, n_items, head_bytes, cell_bytes,
+                            r0, row_mult=head_row_mult)
     elif isinstance(head, list):
         # Explicit staircase: [(row_start, rows, hi), ...], disjoint bands.
         r0 = head_r0

@@ -351,6 +351,7 @@ class HPF(FactorModel):
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
                                     dtype=self._dtype, reorder=True, head="auto",
                                     tail_group_cap=32,
+                                    head_row_mult=mesh.devices.size if mesh else 1,
                                     **auto_tiles(self.n_users, self.n_items, data.nnz))
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")

@@ -122,51 +122,78 @@ def _fused_kernel(th_ref, beta_ref, xh_ref, m_ref, *rest, k, floor, has_lo,
 
 
 def _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
-                          interpret, item_side):
+                          interpret, item_side, mesh=None):
     """Run the fused kernel over (row-block, col-tile) grid.  Returns the
     (rows, 2K) [S_alloc' | S_other] accumulator: rows = hu (user side) or
-    hip (item side); S_alloc' lacks the final elementwise self factor."""
+    hip (item side); S_alloc' lacks the final elementwise self factor.
+
+    mesh: optional 1-D data mesh — when the tier's row-chunk count divides
+    the device count (the auto builder rounds tiers for the fit mesh via
+    ``head_row_mult``), the row axis shards across devices: each device
+    runs the fused kernel on its row band; user-side outputs concatenate
+    along rows, item-side partials psum over ICI.  Falls back to
+    replicated compute otherwise (always correct)."""
     K = theta_h.shape[1]
     hip = head.m.shape[1]
     R0 = head.r0
     C0 = _col_tile(hip)
-    n_r = head.hu // R0
     n_c = hip // C0
     has_lo = head.x_lo is not None
     prec = _prec(precision)
-
-    th_spec = pl.BlockSpec((R0, K), lambda a, b: ((b if item_side else a), 0))
-    beta_spec = pl.BlockSpec((C0, K), lambda a, b: ((a if item_side else b), 0))
-    cell = pl.BlockSpec(
-        (R0, C0), lambda a, b: ((b, a) if item_side else (a, b))
-    )
-    if item_side:
-        grid = (n_c, n_r)
-        out_rows = C0
-        out_spec = pl.BlockSpec((C0, 2 * K), lambda a, b: (a, 0))
-        out_shape = jax.ShapeDtypeStruct((hip, 2 * K), jnp.float32)
-    else:
-        grid = (n_r, n_c)
-        out_rows = R0
-        out_spec = pl.BlockSpec((R0, 2 * K), lambda a, b: (a, 0))
-        out_shape = jax.ShapeDtypeStruct((head.hu, 2 * K), jnp.float32)
-    del out_rows
-    in_specs = [th_spec, beta_spec, cell, cell] + ([cell] if has_lo else [])
-    operands = [theta_h, beta_h, head.x_hi, head.m] + (
-        [head.x_lo] if has_lo else []
-    )
     kernel = functools.partial(
         _fused_kernel, k=K, floor=rate_floor, has_lo=has_lo, prec=prec,
         item_side=item_side,
     )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(*operands)
+
+    def core(bh, th, xh, mm, *lo):
+        rows = xh.shape[0]
+        n_r = rows // R0
+        th_spec = pl.BlockSpec(
+            (R0, K), lambda a, b: ((b if item_side else a), 0)
+        )
+        beta_spec = pl.BlockSpec(
+            (C0, K), lambda a, b: ((a if item_side else b), 0)
+        )
+        cell = pl.BlockSpec(
+            (R0, C0), lambda a, b: ((b, a) if item_side else (a, b))
+        )
+        if item_side:
+            grid = (n_c, n_r)
+            out_spec = pl.BlockSpec((C0, 2 * K), lambda a, b: (a, 0))
+            out_shape = jax.ShapeDtypeStruct((hip, 2 * K), jnp.float32)
+        else:
+            grid = (n_r, n_c)
+            out_spec = pl.BlockSpec((R0, 2 * K), lambda a, b: (a, 0))
+            out_shape = jax.ShapeDtypeStruct((rows, 2 * K), jnp.float32)
+        in_specs = [th_spec, beta_spec, cell, cell] + ([cell] if has_lo else [])
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(th, bh, xh, mm, *lo)
+
+    lo_ops = (head.x_lo,) if has_lo else ()
+    n_dev = 1 if mesh is None else mesh.devices.size
+    if n_dev <= 1 or (head.hu // R0) % n_dev:
+        return core(beta_h, theta_h, head.x_hi, head.m, *lo_ops)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_fn(bh, th, xh, mm, *lo):
+        out = core(bh, th, xh, mm, *lo)
+        return jax.lax.psum(out, "data") if item_side else out
+
+    row = P("data", None)
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, None), row, row, row) + ((row,) if has_lo else ()),
+        out_specs=P() if item_side else row,
+        check_vma=False,  # pallas_call outputs carry no vma info
+    )(beta_h, theta_h, head.x_hi, head.m, *lo_ops)
 
 
 def poisson_head_stats(
@@ -176,6 +203,7 @@ def poisson_head_stats(
     rate_floor: float,
     precision: str = "high",
     interpret: bool = False,
+    mesh=None,
 ):
     """User-side head statistics: (S_alloc, S_other), both (hu, K).
 
@@ -183,7 +211,7 @@ def poisson_head_stats(
     (zero-padded past hi), both in NEW (count-reordered) id space."""
     K = theta_h.shape[1]
     out = _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
-                                interpret, item_side=False)
+                                interpret, item_side=False, mesh=mesh)
     return theta_h * out[:, :K], out[:, K:]
 
 
@@ -194,13 +222,14 @@ def poisson_head_stats_t(
     rate_floor: float,
     precision: str = "high",
     interpret: bool = False,
+    mesh=None,
 ):
     """Item-side head statistics via the transposed fused kernel:
     (S_alloc, S_other), both (hip, K) — rows past hi are exact zeros
     (M is zero there)."""
     K = theta_h.shape[1]
     out = _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
-                                interpret, item_side=True)
+                                interpret, item_side=True, mesh=mesh)
     return beta_h * out[:, :K], out[:, K:]
 
 

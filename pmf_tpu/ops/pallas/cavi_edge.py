@@ -241,7 +241,8 @@ def poisson_edge_stats(
                     ((0, hip - tier.hi), (0, 0)),
                 )
                 sa_h, so_h = poisson_head_stats(
-                    theta_h, beta_h, tier, rate_floor, precision, interpret
+                    theta_h, beta_h, tier, rate_floor, precision, interpret,
+                    mesh=mesh,
                 )
                 head_adds.append((rs, jnp.concatenate([sa_h, so_h], axis=1)))
             else:
@@ -251,7 +252,8 @@ def poisson_edge_stats(
                     ((0, hip - tier.hi), (0, 0)),
                 )
                 sa_h, so_h = poisson_head_stats_t(
-                    theta_h, beta_h, tier, rate_floor, precision, interpret
+                    theta_h, beta_h, tier, rate_floor, precision, interpret,
+                    mesh=mesh,
                 )
                 head_adds.append(
                     (0, jnp.concatenate([sa_h[: tier.hi], so_h[: tier.hi]], axis=1))

@@ -150,6 +150,43 @@ def test_gaussian_staircase_tiers_match_flat(small_ratings):
         )
 
 
+def test_hpf_head_sharded_over_mesh(small_ratings):
+    """Head rows shard over the 8-device CPU mesh (tier rows chosen so
+    row chunks divide the device count): sweep must match the unsharded
+    hybrid exactly."""
+    from pmf_tpu.parallel import make_mesh
+
+    u, i, x = small_ratings
+    n_users, n_items = 120, 80
+    xs = x + 1.0
+    cfg = hpf.HPFConfig(n_factors=6, verbose=False)
+    hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
+    flat = build_ratings(u, i, xs, n_users=n_users, n_items=n_items)
+    # hu = 32 rows, r0 = 4 -> 8 row chunks, divisible by 8 devices.
+    blocked = build_blocked(
+        u, i, xs, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=(32, 24), head_r0=4,
+    )
+    mesh = make_mesh(8)
+    s_ref = dict(hpf.init_state(n_users, n_items, cfg))
+    s_mesh = dict(s_ref)
+    for _ in range(2):
+        s_ref = hpf.sweep_blocked(
+            s_ref, blocked, flat.user_counts, flat.item_counts, *hyper,
+            precision="high", interpret=True,
+        )
+        s_mesh = hpf.sweep_blocked(
+            s_mesh, blocked, flat.user_counts, flat.item_counts, *hyper,
+            precision="high", interpret=True, mesh=mesh,
+        )
+    for k in s_ref:
+        np.testing.assert_allclose(
+            np.asarray(s_ref[k]), np.asarray(s_mesh[k]),
+            rtol=1e-6, atol=1e-7, err_msg=k,
+        )
+
+
 def test_auto_head_declines_small_data(small_ratings):
     u, i, x = small_ratings
     blocked = build_blocked(
