@@ -367,14 +367,20 @@ def auto_tiles(n_users: int, n_items: int, nnz: int, group_cap: int = 16,
     stability).  Dense ML-25M-like shapes keep the tuned C=128/G=16.
 
     ``tail``: size for a hybrid layout's residual edges, whose per-tile
-    occupancy is skewed (the dense head removed the uniform mass): shrink
-    while e < 2*chunk (measured: the ML-25M tail at e~137 runs 9% faster
-    at C=64/G=32 than C=128/G=16, docs/PERFORMANCE.md)."""
+    occupancy is skewed (the dense head removed the uniform mass): also
+    shrink while e < 2*chunk, but only when the group cap lets the group
+    double to keep per-grid-step edges (G*C) constant — measured: the
+    ML-25M tail at e~137 runs 9% faster at C=64/G=32 than C=128/G=16,
+    while the Gaussian kernels (G capped at 8) LOSE from sub-128 chunks
+    (per-step table DMA amortizes worse: 292M -> 269M)."""
     e = nnz * block * block / max(n_users * n_items, 1)
     chunk = 128
-    factor = 2 if tail else 1
-    while chunk > 16 and e < factor * chunk:
-        chunk //= 2
+    while chunk > 16:
+        group_keeps_up = 2048 // (chunk // 2) <= group_cap
+        if e < chunk or (tail and e < 2 * chunk and group_keeps_up):
+            chunk //= 2
+        else:
+            break
     group = min(group_cap, max(1, 2048 // chunk))
     return dict(block_users=block, block_items=block, chunk_size=chunk,
                 group=group)
@@ -435,6 +441,20 @@ def _pick_tiers(
         if cover < min_cover * nnz:
             break
         kept.append((int(rs), int(rows), int(hi)))
+    if kept:
+        # The stair can exhaust max_tiers before the row space (measured:
+        # the Gaussian head left the coldest 39% of users untiered and its
+        # tail-kernel time dominated); extend the LAST tier through the
+        # remaining users as far as the byte budget allows.
+        rs, rows, hi = kept[-1]
+        hip = -(-hi // 512) * 512
+        used = sum(r * (-(-h // 512) * 512) for _, r, h in kept)
+        extra = min(
+            ((n_users - rs - rows) // unit) * unit,
+            max(budget_cells - used, 0) // hip // unit * unit,
+        )
+        if extra > 0:
+            kept[-1] = (rs, rows + int(extra), hi)
     return kept
 
 

@@ -613,7 +613,12 @@ class GaussianMF(FactorModel):
                                     dtype=self._dtype, reorder=True,
                                     block_users=bs, block_items=bs,
                                     chunk_size=cs, group=grp, head="auto",
-                                    tail_group_cap=cap)
+                                    # centered ratings carry an x_lo plane
+                                    # (6 B/cell); match the Poisson
+                                    # family's ~536M-cell budget
+                                    head_bytes=3 << 30,
+                                    tail_group_cap=cap,
+                                    head_row_mult=mesh.devices.size if mesh else 1)
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")
             interpret = _jax.default_backend() == "cpu"

@@ -319,48 +319,52 @@ def _xm_chunks(head: DenseHead):
     return tuple(xs)
 
 
-def _xm32(chunk):
-    xh, mm, *lo = chunk
-    x32 = xh.astype(jnp.float32)
-    if lo:
-        x32 = x32 + lo[0].astype(jnp.float32)
-    return x32, mm.astype(jnp.float32)
-
-
 def _parts_of(precision: str) -> int:
     return 1 if precision in ("fast", "fast_bf16") else 2
 
 
-def _dot_parts(A: jax.Array, B: jax.Array, parts: int, transpose_a: bool):
-    """bf16-part matmul: decompose both f32 operands into ``parts`` exact
-    bf16 column groups and sum the cross products with i + j < parts —
-    single-pass MXU matmuls at ~2^-16 relative error for parts=2 (the
-    same tier as the edge kernels' "high" payloads).  HIGHEST-precision
-    f32 dots run at 1/6 of MXU peak, which dominated the wide-payload
-    Gaussian head products.  A: (r, n) contracting n (or (n, r) with
-    ``transpose_a``), B: (n, c)."""
+def _decompose_list(B: jax.Array, parts: int) -> list:
+    """f32 (n, c) -> list of ``parts`` exact bf16 (n, c) mantissa planes."""
     from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16
 
     if parts == 1:
-        Ap, Bp = [A.astype(jnp.bfloat16)], [B.astype(jnp.bfloat16)]
-    else:
-        n = A.shape[1]
-        c = B.shape[1]
-        Ad = decompose_bf16(A, parts)
-        Bd = decompose_bf16(B, parts)
-        Ap = [Ad[:, i * n : (i + 1) * n] for i in range(parts)]
-        Bp = [Bd[:, j * c : (j + 1) * c] for j in range(parts)]
+        return [B.astype(jnp.bfloat16)]
+    c = B.shape[1]
+    Bd = decompose_bf16(B, parts)
+    return [Bd[:, j * c : (j + 1) * c] for j in range(parts)]
+
+
+def _dot_part_lists(Ap: list, Bp: list, transpose_a: bool):
+    """Sum of single-pass bf16 MXU cross products with i + j < max parts —
+    ~2^-16 relative error for 2x2 parts (the edge kernels' "high" payload
+    tier).  HIGHEST-precision f32 dots run at 1/6 of MXU peak, which
+    dominated the wide-payload Gaussian head products; and all the part
+    planes here are either stored (x_hi/x_lo, bf16 m) or decomposed ONCE
+    per call, not per scan chunk."""
     contract = (((0,), (0,)), ((), ())) if transpose_a else (((1,), (0,)), ((), ()))
     out = None
+    pm = max(len(Ap), len(Bp))
     for i, Ai in enumerate(Ap):
         for j, Bj in enumerate(Bp):
-            if i + j >= max(len(Ap), len(Bp)):
+            if i + j >= pm:
                 continue
             term = jax.lax.dot_general(
                 Ai, Bj, contract, preferred_element_type=jnp.float32
             )
             out = term if out is None else out + term
     return out
+
+
+def _m_parts(m_chunk: jax.Array, parts: int) -> list:
+    """Multiplicity operand parts: a bf16-stored M is already one exact
+    plane; an f32 M (counts > 256) decomposes into two exact planes."""
+    from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16
+
+    if m_chunk.dtype == jnp.bfloat16 or parts == 1:
+        return [m_chunk.astype(jnp.bfloat16)]
+    c = m_chunk.shape[1]
+    d = decompose_bf16(m_chunk, 2)
+    return [d[:, :c], d[:, c:]]
 
 
 def head_products(
@@ -376,15 +380,17 @@ def head_products(
     payloads with coefficient 1 (multiplicity) or x, so these two products
     cover them all.  Returns ((hu, W), (hu, Wx) or None)."""
     parts = _parts_of(precision)
+    Bp = _decompose_list(other_tab, parts)
+    Xt = None if x_tab is None else _decompose_list(x_tab, parts)
 
     def body(_, chunk):
-        x32, m32 = _xm32(chunk)
-        mp = _dot_parts(m32, other_tab, parts, transpose_a=False)
-        xp = (
-            None
-            if x_tab is None
-            else _dot_parts(x32, x_tab, parts, transpose_a=False)
-        )
+        xh, mm, *lo = chunk
+        mp = _dot_part_lists(_m_parts(mm, parts), Bp, transpose_a=False)
+        xp = None
+        if Xt is not None:
+            # x_hi / x_lo ARE the stored 2-part decomposition of X.
+            xparts = [xh] + ([lo[0]] if lo and parts > 1 else [])
+            xp = _dot_part_lists(xparts, Xt, transpose_a=False)
         return None, (mp, xp)
 
     _, (mp, xp) = jax.lax.scan(body, None, _xm_chunks(head))
@@ -410,18 +416,25 @@ def head_products_t(
     r0 = head.r0
     hip = head.m.shape[1]
     with_x = x_tab is not None
-    xs = _xm_chunks(head) + (self_tab.reshape(nc, r0, -1),)
-    if with_x:
-        xs = xs + (x_tab.reshape(nc, r0, -1),)
+
+    def chunked_parts(tab):
+        return tuple(
+            p.reshape(nc, r0, -1) for p in _decompose_list(tab, parts)
+        )
+
+    st_parts = chunked_parts(self_tab)
+    xt_parts = chunked_parts(x_tab) if with_x else ()
+    xs = _xm_chunks(head) + (st_parts, xt_parts)
 
     def body(carry, chunk):
         mp, xp = carry
-        n_tail = 2 if with_x else 1
-        x32, m32 = _xm32(chunk[:-n_tail])
-        st = chunk[-n_tail]
-        mp = mp + _dot_parts(m32, st, parts, transpose_a=True)
+        *cells, st_p, xt_p = chunk
+        xh, mm, *lo = cells
+        mp = mp + _dot_part_lists(_m_parts(mm, parts), list(st_p),
+                                  transpose_a=True)
         if with_x:
-            xp = xp + _dot_parts(x32, chunk[-1], parts, transpose_a=True)
+            xparts = [xh] + ([lo[0]] if lo and parts > 1 else [])
+            xp = xp + _dot_part_lists(xparts, list(xt_p), transpose_a=True)
         return (mp, xp), None
 
     init = (

@@ -197,3 +197,10 @@ def test_auto_tiles_adapts_to_density():
     # group_cap respected (Gaussian kernels compile-cap at 8).
     capped = auto_tiles(162_000, 59_000, 25_000_000, group_cap=8)
     assert capped["group"] == 8
+
+    # Tail mode (hybrid residual, e ~ 137): shrinks to C=64 only when the
+    # group can double to keep per-step edges constant.
+    tail32 = auto_tiles(162_000, 59_000, 5_000_000, group_cap=32, tail=True)
+    assert tail32["chunk_size"] == 64 and tail32["group"] == 32
+    tail8 = auto_tiles(162_000, 59_000, 5_000_000, group_cap=8, tail=True)
+    assert tail8["chunk_size"] == 128 and tail8["group"] == 8
