@@ -192,6 +192,39 @@ def bench_ext_poisson(blocked, flat, nnz, K, iters, rtt):
     return out
 
 
+def bench_serving(u, i, n_users, n_items, K, rtt, n_query=16384, k=100):
+    """Serving path: batch top-k unseen-item recommendation throughput at
+    ML-25M scale (dense MXU scoring + train-item exclusion + lax.top_k),
+    with the exclusion index prepared once as a server would."""
+    import jax.numpy as jnp
+
+    from pmf_tpu.eval.recommend import build_exclusion_index, recommend
+
+    rng = np.random.default_rng(2)
+    theta = jnp.asarray(rng.random((n_users, K), np.float32))
+    beta = jnp.asarray(rng.random((n_items, K), np.float32))
+    users = rng.integers(0, n_users, n_query)
+    try:
+        t0 = time.perf_counter()
+        index = build_exclusion_index(u, i, n_users=n_users)
+        t_prep = time.perf_counter() - t0
+        recommend(theta, beta, users[:2048], k=k, batch=2048,
+                  train_index=index)  # warmup/compile
+        t0 = time.perf_counter()
+        items, _ = recommend(theta, beta, users, k=k, batch=2048,
+                             train_index=index)
+        dt = time.perf_counter() - t0
+        out = {"users_per_sec_topk": round(n_query / dt, 1), "k": k,
+               "prep_seconds": round(t_prep, 2),
+               "batch_seconds": round(dt, 3)}
+        print(f"# serving top-{k}: {n_query/dt/1e3:.1f}k users/s "
+              f"(index prep {t_prep:.1f}s once)", file=sys.stderr)
+    except Exception as e:
+        out = {"failure": classify_failure(e)}
+        print(f"# serving failed: {str(e)[:140]}", file=sys.stderr)
+    return out
+
+
 def bench_gaussian_diag(blocked, flat, nnz, K, iters, rtt):
     """Diag-covariance Gaussian on the Gaussian run's blocked layout."""
     from pmf_tpu.models import gaussian_mf
@@ -301,6 +334,7 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
     g = bench_gaussian(u, i, xg, n_users, n_items, nnz, K, iters, rtt)
     g_blocked, g_flat = g.pop("_layout")
     gdiag = bench_gaussian_diag(g_blocked, g_flat, nnz, K, iters, rtt)
+    serving = bench_serving(u, i, n_users, n_items, K, rtt)
 
     value = hpf_results.get("hybrid_high") or hpf_results["blocked_high"]
     gval = g.get("updates_per_sec_4block")
@@ -342,6 +376,7 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
                     "gaussian_blocked_high": g,
                     "gaussian_diag_blocked_high": gdiag,
                     "extended_poisson_blocked_high": ext,
+                    "serving_recommend_topk": serving,
                     "engine_stat_error": {
                         "blocked_high": "~3e-7 HPF (bf16x3) / ~2e-5 Gaussian (bf16x2)",
                         "blocked_mid": "~2e-5 HPF / Gaussian mixed: w-stat ~2e-5, A-stat ~2e-3",

@@ -39,6 +39,40 @@ def _round_pow2(n: int, floor: int = 256) -> int:
     return m
 
 
+def build_exclusion_index(train_u, train_i, n_users: int | None = None):
+    """Serving-time preparation, done once: sort the training pairs by
+    user, build the per-user CSR row pointer (host), and park the sorted
+    item column DEVICE-side.  Per request only the queried user rows'
+    (lo, offset, count) triples cross the host link; the scatter-mask
+    indices themselves are built on device (`_device_mask`) — shipping
+    per-batch masks from host dominated request latency.  Returns an
+    opaque index for ``recommend(train_index=...)``."""
+    tu = np.asarray(train_u, dtype=np.int64)
+    ti = np.asarray(train_i, dtype=np.int64)
+    order = np.argsort(tu, kind="stable")
+    tu, ti = tu[order], ti[order]
+    if n_users is None:
+        n_users = int(tu.max()) + 1 if len(tu) else 0
+    counts = np.bincount(tu, minlength=n_users)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return row_ptr, jnp.asarray(ti, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cap", "n_rows"))
+def _device_mask(lo, off, cnt, ti_dev, cap: int, n_rows: int):
+    """Build the (row, item) scatter-mask indices for one batch on device:
+    row r contributes ti_dev[lo[r] : lo[r] + cnt[r]] at flat positions
+    [off[r], off[r] + cnt[r]); padding positions carry row n_rows (dropped
+    by the scatter)."""
+    rows = jnp.repeat(jnp.arange(n_rows, dtype=jnp.int32), cnt,
+                      total_repeat_length=cap)
+    flat = jnp.arange(cap, dtype=jnp.int32)
+    pos = flat - off[rows]
+    valid = flat < cnt.sum()
+    item = ti_dev[jnp.clip(lo[rows] + pos, 0, ti_dev.shape[0] - 1)]
+    return jnp.where(valid, rows, n_rows), jnp.where(valid, item, 0)
+
+
 def recommend(
     theta,
     beta,
@@ -50,6 +84,7 @@ def recommend(
     item_bias=None,
     user_bias=None,
     mean: float = 0.0,
+    train_index=None,
 ):
     """Top-k items per user under the model's full score.
 
@@ -75,37 +110,43 @@ def recommend(
         else jnp.asarray(item_bias, jnp.float32)
     )
 
-    have_train = train_u is not None and train_i is not None and len(train_u)
+    if train_index is None and train_u is not None and train_i is not None \
+            and len(train_u):
+        train_index = build_exclusion_index(train_u, train_i,
+                                            n_users=theta.shape[0])
+    have_train = train_index is not None
     if have_train:
-        tu = np.asarray(train_u, dtype=np.int64)
-        ti = np.asarray(train_i, dtype=np.int64)
-        order = np.argsort(tu, kind="stable")
-        tu, ti = tu[order], ti[order]
-        lo = np.searchsorted(tu, users, side="left")
-        hi = np.searchsorted(tu, users, side="right")
+        row_ptr, ti_dev = train_index
+        lo_all = row_ptr[users]
+        cnt_all = row_ptr[users + 1] - lo_all
 
-    items = np.empty((len(users), k), dtype=np.int64)
-    scores = np.empty((len(users), k), dtype=np.float32)
+    # Dispatch every batch asynchronously (device builds mask indices,
+    # scores, and top-k while earlier batches' results transfer) and
+    # materialize once at the end — a per-batch host sync serializes
+    # compute behind result transfers.
+    pending = []
     for s in range(0, len(users), batch):
         e = min(s + batch, len(users))
         ub = users[s:e]
         if have_train:
-            n_edges = int((hi[s:e] - lo[s:e]).sum())
-            cap = _round_pow2(max(n_edges, 1))
-            mask_u = np.full(cap, len(ub), dtype=np.int32)  # row B -> dropped
-            mask_i = np.zeros(cap, dtype=np.int32)
-            pos = 0
-            for row, (a, b) in enumerate(zip(lo[s:e], hi[s:e])):
-                n = b - a
-                mask_u[pos : pos + n] = row
-                mask_i[pos : pos + n] = ti[a:b]
-                pos += n
+            cnt = cnt_all[s:e]
+            cap = _round_pow2(max(int(cnt.sum()), 1))
+            off = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            mask_u, mask_i = _device_mask(
+                jnp.asarray(lo_all[s:e], jnp.int32),
+                jnp.asarray(off, jnp.int32),
+                jnp.asarray(cnt, jnp.int32),
+                ti_dev, cap, len(ub),
+            )
         else:
-            mask_u = np.full(1, len(ub), dtype=np.int32)
-            mask_i = np.zeros(1, dtype=np.int32)
+            mask_u = jnp.full((1,), len(ub), dtype=jnp.int32)
+            mask_i = jnp.zeros((1,), dtype=jnp.int32)
         rows = gather_rows(theta, jnp.asarray(ub))
-        v, idx = _topk_batch(rows, beta, item_bias, jnp.asarray(mask_u),
-                             jnp.asarray(mask_i), k)
+        pending.append((s, e, _topk_batch(rows, beta, item_bias, mask_u,
+                                          mask_i, k)))
+    items = np.empty((len(users), k), dtype=np.int64)
+    scores = np.empty((len(users), k), dtype=np.float32)
+    for s, e, (v, idx) in pending:
         items[s:e] = np.asarray(idx)
         scores[s:e] = np.asarray(v)
     if mean or user_bias is not None:

@@ -282,11 +282,15 @@ class FactorModel:
         variant) override this so recommend() ranks by the same score."""
         return None, None, 0.0
 
-    def recommend(self, user_ids, k: int = 10, train=None, batch: int = 1024):
+    def recommend(self, user_ids, k: int = 10, train=None, batch: int = 1024,
+                  train_index=None):
         """Top-k unseen-item recommendations per user (the serving path —
         beyond the reference, which only scores explicit pairs).  ``train``:
         optional ratings container whose (u, i) pairs are excluded from the
-        candidates.  Returns (items, scores), each (len(user_ids), k)."""
+        candidates; for repeated serving calls pass ``train_index`` from
+        `pmf_tpu.eval.recommend.build_exclusion_index` instead (sorts the
+        pairs once, not per request).  Returns (items, scores), each
+        (len(user_ids), k)."""
         from pmf_tpu.eval.recommend import recommend as _rec
 
         theta, beta = self._point_estimates()
@@ -296,7 +300,7 @@ class FactorModel:
             tu, ti, _ = as_triples(train)
         return _rec(theta, beta, user_ids, k=k, train_u=tu, train_i=ti,
                     batch=batch, item_bias=item_bias, user_bias=user_bias,
-                    mean=mean)
+                    mean=mean, train_index=train_index)
 
     def predict(self, user_ids, item_ids) -> np.ndarray:
         """Out-of-range (unseen) pairs predict 0, matching the reference

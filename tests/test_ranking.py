@@ -101,6 +101,16 @@ def test_recommend_matches_dense_oracle(small_splits):
         # no train item leaked
         assert not set(items[u_idx]) & set(ti[tu == u])
 
+    # A prepared exclusion index (the serving pattern: sort once, reuse
+    # across requests) gives identical results.
+    from pmf_tpu.eval.recommend import build_exclusion_index
+
+    idx = build_exclusion_index(tu, ti)
+    items2, scores2 = recommend(theta, beta, users, k=k, train_index=idx,
+                                batch=16)
+    np.testing.assert_array_equal(items, items2)
+    np.testing.assert_allclose(scores, scores2, rtol=1e-6)
+
 
 def test_model_recommend_facade(small_splits):
     from pmf_tpu.models.hpf import HPF, HPFConfig
