@@ -54,6 +54,9 @@ def main():
               flush=True)
         return dt
 
+    # Note: G*C = 4096 per grid step exceeds the 16M scoped-VMEM budget
+    # (measured: C=128/G=32 -> 27M scoped alloc, compile OOM); 2048 is
+    # the per-step ceiling, and C=64/G=32 is the measured tail optimum.
     for C, G in ((128, 16), (64, 32), (32, 32), (16, 32)):
         blocked = build_blocked(
             u, i, x, n_users=n_users, n_items=n_items,
