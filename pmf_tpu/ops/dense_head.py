@@ -18,10 +18,15 @@ M (edge multiplicities) of `pmf_tpu.data.blocked.DenseHead`:
   and transposed contractions of the SAME row-chunked arrays give the
   item-side statistics — no transposed copy of X is stored.
 
-Everything here is plain XLA (lax.scan over row chunks of X so no
-(hu, hip) f32 intermediate outlives a chunk); precision "high"/"mid" use
-HIGHEST-precision (f32-exact) dots — stricter than the edge kernel's
-bf16x3 — and "fast" uses one-pass bf16 like the edge kernel's fast tier.
+Two compute paths: the allocation-form statistics (nonlinear in R) run
+as ONE fused Pallas kernel per tier — rate, W, and both segment products
+stay in VMEM, so nothing but the X/M cell tiles moves through HBM — and
+the LINEAR products (`head_products`) run as XLA scans over row chunks
+with single-pass bf16 part matmuls (stored x_hi/x_lo planes are the
+ready-made X decomposition; payload tables decompose once per call).
+Precision "high"/"mid" keep ~2e-5 worst-case statistic error (HIGHEST
+f32 dots for the fused kernel's K-narrow contractions); "fast" uses one
+bf16 plane like the edge kernels' fast tier.
 
 Duplicate (u, i) edges are exact: rate is identical across duplicates, so
 sum_e x_e / rate == X_cell / rate, and M carries multiplicity for the
@@ -77,7 +82,7 @@ def _col_tile(hip: int) -> int:
     return hip
 
 
-def _fused_kernel(th_ref, beta_ref, xh_ref, m_ref, *rest, k, floor, has_lo,
+def _fused_kernel(th_ref, beta_ref, xh_ref, m_ref, *rest, floor, has_lo,
                   prec, item_side):
     """Fused allocation kernel: rate -> W -> both segment products in VMEM.
     Nothing but the X/M cell tiles is ever read from or written to HBM —
@@ -141,7 +146,7 @@ def _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
     has_lo = head.x_lo is not None
     prec = _prec(precision)
     kernel = functools.partial(
-        _fused_kernel, k=K, floor=rate_floor, has_lo=has_lo, prec=prec,
+        _fused_kernel, floor=rate_floor, has_lo=has_lo, prec=prec,
         item_side=item_side,
     )
 
