@@ -187,6 +187,61 @@ def test_hpf_head_sharded_over_mesh(small_ratings):
         )
 
 
+def test_pick_tiers_staircase_structure():
+    """Auto tiers: contiguous disjoint bands from row 0, quartering item
+    widths, rows rounded to r0*row_mult, last tier extended through the
+    remaining users within budget."""
+    from pmf_tpu.data.blocked import _pick_tiers
+
+    rng = np.random.default_rng(0)
+    n_users, n_items, nnz = 60_000, 30_000, 5_000_000
+    # Zipf-ish synthetic in NEW-id space directly (already count-sorted).
+    uw = (1.0 + np.arange(n_users)) ** -0.7
+    iw = (1.0 + np.arange(n_items)) ** -1.0
+    u = rng.choice(n_users, nnz, p=uw / uw.sum())
+    i = rng.choice(n_items, nnz, p=iw / iw.sum())
+
+    tiers = _pick_tiers(u, i, n_users, n_items, 1 << 29, 4, 512)
+    assert tiers, "big Zipf data must get a head"
+    # contiguity + shrinking item widths
+    row = 0
+    prev_hi = None
+    for rs, rows, hi in tiers:
+        assert rs == row and rows % 512 == 0
+        if prev_hi is not None:
+            assert hi < prev_hi
+        prev_hi = hi
+        row += rows
+    # byte budget respected (hip pads to 512)
+    cells = sum(r * (-(-h // 512) * 512) for _, r, h in tiers)
+    assert cells * 4 <= (1 << 29)
+
+    # row_mult rounds every tier's rows for even mesh sharding
+    tiers8 = _pick_tiers(u, i, n_users, n_items, 1 << 29, 4, 512, row_mult=8)
+    assert all(rows % (512 * 8) == 0 for _, rows, _ in tiers8)
+
+    # tiny data declines
+    assert _pick_tiers(u[:1000], i[:1000], n_users, n_items,
+                       1 << 29, 4, 512) == []
+
+
+def test_explicit_tier_validation():
+    from pmf_tpu.data.blocked import build_blocked
+
+    rng = np.random.default_rng(1)
+    u = rng.integers(0, 64, 500)
+    i = rng.integers(0, 40, 500)
+    x = rng.random(500).astype(np.float32)
+    with pytest.raises(ValueError, match="disjoint"):
+        build_blocked(u, i, x, n_users=64, n_items=40,
+                      block_users=16, block_items=16, chunk_size=16, group=2,
+                      reorder=True, head=[(0, 16, 20), (8, 16, 10)], head_r0=4)
+    with pytest.raises(ValueError, match="invalid"):
+        build_blocked(u, i, x, n_users=64, n_items=40,
+                      block_users=16, block_items=16, chunk_size=16, group=2,
+                      reorder=True, head=[(0, 80, 20)], head_r0=4)
+
+
 def test_auto_head_declines_small_data(small_ratings):
     u, i, x = small_ratings
     blocked = build_blocked(
