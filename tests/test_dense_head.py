@@ -187,6 +187,43 @@ def test_hpf_head_sharded_over_mesh(small_ratings):
         )
 
 
+def test_gaussian_head_mesh_matches_unsharded(small_ratings):
+    """Gaussian hybrid under a mesh: sharded tail segments + (replicated)
+    head products must match the unsharded sweep exactly."""
+    from pmf_tpu.models import gaussian_mf
+    from pmf_tpu.parallel import make_mesh
+
+    u, i, x = small_ratings
+    xc = x.astype(np.float32) - np.float32(x.mean())
+    n_users, n_items = 120, 80
+    cfg = gaussian_mf.GaussianMFConfig(
+        n_factors=5, sigma2=0.5, eta_theta2=0.4, eta_beta2=0.4, eta_bias2=0.7,
+        verbose=False,
+    )
+    flat = build_ratings(u, i, xc, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, xc, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=(32, 24), head_r0=4,
+    )
+    mesh = make_mesh(8)
+    s_ref = dict(gaussian_mf.init_state(n_users, n_items, cfg))
+    s_mesh = dict(s_ref)
+    for _ in range(2):
+        args = (flat.user_counts, flat.item_counts, cfg.sigma2,
+                cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2, True)
+        s_ref = gaussian_mf.sweep_blocked(
+            s_ref, blocked, *args, precision="high", interpret=True)
+        s_mesh = gaussian_mf.sweep_blocked(
+            s_mesh, blocked, *args, precision="high", interpret=True,
+            mesh=mesh)
+    for k in ("m_theta", "m_beta", "V_theta", "b_user", "b_item"):
+        np.testing.assert_allclose(
+            np.asarray(s_ref[k]), np.asarray(s_mesh[k]),
+            rtol=1e-6, atol=1e-7, err_msg=k,
+        )
+
+
 def test_pick_tiers_staircase_structure():
     """Auto tiers: contiguous disjoint bands from row 0, quartering item
     widths, rows rounded to r0*row_mult, last tier extended through the
