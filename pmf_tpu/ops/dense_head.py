@@ -314,16 +314,6 @@ def ext_head_stats_t(
     return beta_h * sa, sw
 
 
-def _xm_chunks(head: DenseHead):
-    """Row-chunked (x_hi, m[, x_lo]) scan inputs (no self table)."""
-    nc = head.hu // head.r0
-    r0 = head.r0
-    xs = [head.x_hi.reshape(nc, r0, -1), head.m.reshape(nc, r0, -1)]
-    if head.x_lo is not None:
-        xs.append(head.x_lo.reshape(nc, r0, -1))
-    return tuple(xs)
-
-
 def _parts_of(precision: str) -> int:
     return 1 if precision in ("fast", "fast_bf16") else 2
 
@@ -372,37 +362,66 @@ def _m_parts(m_chunk: jax.Array, parts: int) -> list:
     return [d[:, :c], d[:, c:]]
 
 
+def _row_chunked(arrs, r0: int):
+    """Reshape (rows, c) arrays to (rows/r0, r0, c) scan inputs."""
+    return tuple(a.reshape(a.shape[0] // r0, r0, -1) for a in arrs)
+
+
 def head_products(
     head: DenseHead,
     other_tab: jax.Array,
     x_tab: jax.Array,
     precision: str = "high",
+    mesh=None,
 ):
     """LINEAR user-side head statistics: (M @ other_tab, X @ x_tab).
 
     other_tab: (hip, W) per-head-item payload, x_tab: (hip, Wx) or None.
     Every Gaussian-family edge statistic is linear in per-other-row
     payloads with coefficient 1 (multiplicity) or x, so these two products
-    cover them all.  Returns ((hu, W), (hu, Wx) or None)."""
+    cover them all.  Returns ((hu, W), (hu, Wx) or None).
+
+    mesh: optional 1-D data mesh — user rows shard across devices when
+    the row-chunk count divides the device count (payload tables
+    replicate; outputs concatenate along rows); replicated otherwise."""
     parts = _parts_of(precision)
-    Bp = _decompose_list(other_tab, parts)
-    Xt = None if x_tab is None else _decompose_list(x_tab, parts)
+    Bp = tuple(_decompose_list(other_tab, parts))
+    Xt = tuple(_decompose_list(x_tab, parts)) if x_tab is not None else ()
+    lo = (head.x_lo,) if head.x_lo is not None else ()
+    r0 = head.r0
 
-    def body(_, chunk):
-        xh, mm, *lo = chunk
-        mp = _dot_part_lists(_m_parts(mm, parts), Bp, transpose_a=False)
-        xp = None
-        if Xt is not None:
-            # x_hi / x_lo ARE the stored 2-part decomposition of X.
-            xparts = [xh] + ([lo[0]] if lo and parts > 1 else [])
-            xp = _dot_part_lists(xparts, Xt, transpose_a=False)
-        return None, (mp, xp)
+    def core(xh, mm, lo_t, bp_t, xt_t):
+        rows = xh.shape[0]
 
-    _, (mp, xp) = jax.lax.scan(body, None, _xm_chunks(head))
-    return (
-        mp.reshape(head.hu, -1),
-        None if x_tab is None else xp.reshape(head.hu, -1),
-    )
+        def body(_, chunk):
+            xh_c, mm_c, *lo_c = chunk
+            mp = _dot_part_lists(_m_parts(mm_c, parts), list(bp_t),
+                                 transpose_a=False)
+            outs = (mp,)
+            if xt_t:
+                # x_hi / x_lo ARE the stored 2-part decomposition of X.
+                xparts = [xh_c] + ([lo_c[0]] if lo_c and parts > 1 else [])
+                outs += (_dot_part_lists(xparts, list(xt_t),
+                                         transpose_a=False),)
+            return None, outs
+
+        _, outs = jax.lax.scan(body, None, _row_chunked((xh, mm) + lo_t, r0))
+        return tuple(o.reshape(rows, -1) for o in outs)
+
+    n_dev = 1 if mesh is None else mesh.devices.size
+    if n_dev <= 1 or (head.hu // r0) % n_dev:
+        outs = core(head.x_hi, head.m, lo, Bp, Xt)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        row = P("data", None)
+        outs = jax.shard_map(
+            core,
+            mesh=mesh,
+            in_specs=(row, row, row, P(None, None), P(None, None)),
+            out_specs=row,
+        )(head.x_hi, head.m, lo, Bp, Xt)
+    return outs[0], (outs[1] if x_tab is not None else None)
 
 
 def head_products_t(
@@ -410,41 +429,74 @@ def head_products_t(
     self_tab: jax.Array,
     x_tab: jax.Array,
     precision: str = "high",
+    mesh=None,
 ):
     """LINEAR item-side head statistics: (M^T @ self_tab, X^T @ x_tab)
     via transposed contractions of the row-chunked cell arrays.
 
     self_tab: (hu, W) per-head-user payload, x_tab: (hu, Wx) or None.
-    Returns ((hip, W), (hip, Wx) or None); rows past hi are exact zeros."""
+    Returns ((hip, W), (hip, Wx) or None); rows past hi are exact zeros.
+
+    mesh: optional 1-D data mesh — user rows shard across devices
+    (contraction axis), partials psum over ICI; replicated otherwise."""
     parts = _parts_of(precision)
-    nc = head.hu // head.r0
     r0 = head.r0
     hip = head.m.shape[1]
     with_x = x_tab is not None
+    st_planes = tuple(_decompose_list(self_tab, parts))
+    xt_planes = tuple(_decompose_list(x_tab, parts)) if with_x else ()
+    lo = (head.x_lo,) if head.x_lo is not None else ()
 
-    def chunked_parts(tab):
-        return tuple(
-            p.reshape(nc, r0, -1) for p in _decompose_list(tab, parts)
+    def core(xh, mm, lo_t, st_t, xt_t):
+        xs = (
+            _row_chunked((xh, mm) + lo_t, r0),
+            _row_chunked(st_t, r0),
+            _row_chunked(xt_t, r0),
         )
 
-    st_parts = chunked_parts(self_tab)
-    xt_parts = chunked_parts(x_tab) if with_x else ()
-    xs = _xm_chunks(head) + (st_parts, xt_parts)
+        def body(carry, chunk):
+            cells, st_p, xt_p = chunk
+            xh_c, mm_c, *lo_c = cells
+            carry = list(carry)
+            carry[0] = carry[0] + _dot_part_lists(
+                _m_parts(mm_c, parts), list(st_p), transpose_a=True
+            )
+            if xt_t:
+                xparts = [xh_c] + ([lo_c[0]] if lo_c and parts > 1 else [])
+                carry[1] = carry[1] + _dot_part_lists(
+                    xparts, list(xt_p), transpose_a=True
+                )
+            return tuple(carry), None
 
-    def body(carry, chunk):
-        mp, xp = carry
-        *cells, st_p, xt_p = chunk
-        xh, mm, *lo = cells
-        mp = mp + _dot_part_lists(_m_parts(mm, parts), list(st_p),
-                                  transpose_a=True)
-        if with_x:
-            xparts = [xh] + ([lo[0]] if lo and parts > 1 else [])
-            xp = xp + _dot_part_lists(xparts, list(xt_p), transpose_a=True)
-        return (mp, xp), None
+        init = (jnp.zeros((hip, st_t[0].shape[1]), jnp.float32),) + (
+            (jnp.zeros((hip, xt_t[0].shape[1]), jnp.float32),) if xt_t else ()
+        )
+        if varying:
+            # Under shard_map the accumulator must carry the mesh axis'
+            # varying type from the start (the body mixes in sharded data).
+            init = jax.tree_util.tree_map(
+                lambda z: jax.lax.pcast(z, ("data",), to="varying"), init
+            )
+        out, _ = jax.lax.scan(body, init, xs)
+        return out
 
-    init = (
-        jnp.zeros((hip, self_tab.shape[1]), jnp.float32),
-        jnp.zeros((hip, x_tab.shape[1]), jnp.float32) if with_x else None,
-    )
-    (mp, xp), _ = jax.lax.scan(body, init, xs)
-    return mp, xp
+    n_dev = 1 if mesh is None else mesh.devices.size
+    if n_dev <= 1 or (head.hu // r0) % n_dev:
+        varying = False
+        outs = core(head.x_hi, head.m, lo, st_planes, xt_planes)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        row = P("data", None)
+        varying = True
+
+        def local_fn(xh, mm, lo_t, st_t, xt_t):
+            return jax.lax.psum(core(xh, mm, lo_t, st_t, xt_t), "data")
+
+        outs = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(row, row, row, row, row),
+            out_specs=P(),
+        )(head.x_hi, head.m, lo, st_planes, xt_planes)
+    return outs[0], (outs[1] if with_x else None)

@@ -269,14 +269,14 @@ def ext_scalar_stats(
             theta_h, beta_h, s_h = _head_slices(es, eo, so, tier, head_side)
             if head_side == "user":
                 mp, _ = head_products(tier, s_h[:, None] * beta_h, None,
-                                      precision)
+                                      precision, mesh=mesh)
                 head_adds.append(
                     (tier.row_start,
                      jnp.sum(theta_h * mp, axis=1, keepdims=True))
                 )
             else:
                 mp, _ = head_products_t(tier, s_h[:, None] * theta_h, None,
-                                        precision)
+                                        precision, mesh=mesh)
                 head_adds.append(
                     (0, jnp.sum(beta_h[: tier.hi] * mp[: tier.hi], axis=1,
                                 keepdims=True))

@@ -308,7 +308,8 @@ def _diag_kernel(
 
 
 def _gauss_head_out(
-    tier, mb, tri, K, T, use_bias, with_bias_stats, precision, head_side
+    tier, mb, tri, K, T, use_bias, with_bias_stats, precision, head_side,
+    mesh=None,
 ):
     """One stair tier's dense contribution in the factor kernel's
     output-column layout [S_w' | S_m | triA | (S_x | S_b)] (S_w' excludes
@@ -337,11 +338,11 @@ def _gauss_head_out(
         [m_h, b_h[:, None] * m_h, tri_h, b_h[:, None]], axis=1
     )
     if head_side == "user":
-        mp, xp = head_products(tier, tab, m_h, precision)
+        mp, xp = head_products(tier, tab, m_h, precision, mesh=mesh)
         x_sum = tier.x_sum_user
         start = rs
     else:
-        mp, xp = head_products_t(tier, tab, m_h, precision)
+        mp, xp = head_products_t(tier, tab, m_h, precision, mesh=mesh)
         mp, xp = mp[: tier.hi], xp[: tier.hi]
         x_sum = tier.x_sum_item[: tier.hi]
         start = 0
@@ -392,7 +393,7 @@ def gaussian_factor_stats(
         head_outs = [
             _gauss_head_out(
                 tier, mb, tri, K, T, use_bias, with_bias_stats, precision,
-                head_side,
+                head_side, mesh=mesh,
             )
             for tier in head
         ]
@@ -461,11 +462,11 @@ def gaussian_bias_stats(
             tabf = aug[sl].astype(jnp.float32)
             tab = jnp.pad(tabf, ((0, n_h - tabf.shape[0]), (0, 0)))
             if head_side == "user":
-                mp, _ = head_products(tier, tab, None, precision)
+                mp, _ = head_products(tier, tab, None, precision, mesh=mesh)
                 x_sum = tier.x_sum_user
                 start = rs
             else:
-                mp, _ = head_products_t(tier, tab, None, precision)
+                mp, _ = head_products_t(tier, tab, None, precision, mesh=mesh)
                 mp = mp[: tier.hi]
                 x_sum = tier.x_sum_item[: tier.hi]
                 start = 0
@@ -490,7 +491,8 @@ def gaussian_bias_stats(
     S_m, S_b, S_x = out[:, :K], out[:, K], out[:, K + 1]
     return S_x - S_b - jnp.sum(m_self * S_m, axis=1)
 
-def _diag_head_out(tier, aug, selftab, K, use_bias, precision, head_side):
+def _diag_head_out(tier, aug, selftab, K, use_bias, precision, head_side,
+                   mesh=None):
     """One stair tier's dense contribution for the diag kernel's
     [S_mr | S_sq | S_mm] output.  The Jacobi cross term
     sum_e m_o <m_s, m_o> rides a packed tri(m_o m_o^T) payload column
@@ -514,12 +516,12 @@ def _diag_head_out(tier, aug, selftab, K, use_bias, precision, head_side):
         [m_o, b_o[:, None] * m_o, sq_o, m_o * m_o, tri_mm], axis=1
     )
     if head_side == "user":
-        mp, xp = head_products(tier, tab, m_o, precision)
+        mp, xp = head_products(tier, tab, m_o, precision, mesh=mesh)
         rows = tier.hu
         start = rs
         self_sl = slice(rs, rs + rows)
     else:
-        mp, xp = head_products_t(tier, tab, m_o, precision)
+        mp, xp = head_products_t(tier, tab, m_o, precision, mesh=mesh)
         mp, xp = mp[: tier.hi], xp[: tier.hi]
         rows = tier.hi
         start = 0
@@ -570,7 +572,7 @@ def gaussian_diag_stats(
     if head:
         head_outs = [
             _diag_head_out(tier, aug, selftab, K, use_bias, precision,
-                           head_side)
+                           head_side, mesh=mesh)
             for tier in head
         ]
     if not highest:
