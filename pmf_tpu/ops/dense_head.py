@@ -245,6 +245,7 @@ def ext_head_stats(
     head: DenseHead,
     rate_floor: float,
     precision: str = "high",
+    mesh=None,
 ):
     """Extended-Poisson user-side head statistics: (S_alloc, S_wother),
     both (hu, K).  The multinomial allocation denominator is the factor
@@ -252,26 +253,46 @@ def ext_head_stats(
     `/root/reference/src/models/poisson_mf_extended_cavi.py:127-136`), so
     S_alloc matches the plain form; the rate statistic is psi-weighted:
     S_wother = M @ (s_other * Beta), with sbeta_h = s_other[:, None] *
-    beta_h precomputed by the caller."""
+    beta_h precomputed by the caller.  mesh: user rows shard over the
+    data axis when divisible (like `head_products`)."""
     prec = _prec(precision)
     K = theta_h.shape[1]
     floor = jnp.float32(rate_floor)
+    r0 = head.r0
+    lo = (head.x_lo,) if head.x_lo is not None else ()
 
-    def body(_, chunk):
-        th, x32, m32 = _cell_arrays(chunk)
-        R = jax.lax.dot_general(
-            th, beta_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
+    def core(th_full, xh, mm, lo_t):
+        rows = xh.shape[0]
+
+        def body(_, chunk):
+            th, x32, m32 = _cell_arrays(chunk)
+            R = jax.lax.dot_general(
+                th, beta_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            W = jnp.where(m32 > 0, x32 / jnp.maximum(R, floor), 0.0)
+            sa = th * jax.lax.dot(W, beta_h,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+            sw = jax.lax.dot(m32, sbeta_h,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+            return None, (sa, sw)
+
+        _, (sa, sw) = jax.lax.scan(
+            body, None, _row_chunked((th_full, xh, mm) + lo_t, r0)
         )
-        W = jnp.where(m32 > 0, x32 / jnp.maximum(R, floor), 0.0)
-        sa = th * jax.lax.dot(W, beta_h, preferred_element_type=jnp.float32,
-                              precision=prec)
-        sw = jax.lax.dot(m32, sbeta_h, preferred_element_type=jnp.float32,
-                         precision=prec)
-        return None, (sa, sw)
+        return sa.reshape(rows, K), sw.reshape(rows, K)
 
-    _, (sa, sw) = jax.lax.scan(body, None, _chunks(head, theta_h))
-    return sa.reshape(head.hu, K), sw.reshape(head.hu, K)
+    n_dev = 1 if mesh is None else mesh.devices.size
+    if n_dev <= 1 or (head.hu // r0) % n_dev:
+        return core(theta_h, head.x_hi, head.m, lo)
+    from jax.sharding import PartitionSpec as P
+
+    row = P("data", None)
+    return jax.shard_map(
+        core, mesh=mesh, in_specs=(row, row, row, row), out_specs=row
+    )(theta_h, head.x_hi, head.m, lo)
 
 
 def ext_head_stats_t(
@@ -281,36 +302,69 @@ def ext_head_stats_t(
     head: DenseHead,
     rate_floor: float,
     precision: str = "high",
+    mesh=None,
 ):
     """Extended-Poisson item-side head statistics: (S_alloc, S_wother),
-    both (hip, K); stheta_h = s_other[:, None] * theta_h (user scalars)."""
+    both (hip, K); stheta_h = s_other[:, None] * theta_h (user scalars).
+    mesh: user rows (the contraction axis) shard; partials psum."""
     prec = _prec(precision)
     K = theta_h.shape[1]
     hip = head.m.shape[1]
     floor = jnp.float32(rate_floor)
     contract0 = (((0,), (0,)), ((), ()))
-    nc = head.hu // head.r0
-    xs = _chunks(head, theta_h) + (stheta_h.reshape(nc, head.r0, -1),)
+    r0 = head.r0
+    lo = (head.x_lo,) if head.x_lo is not None else ()
 
-    def body(carry, chunk):
-        sa, sw = carry
-        th, x32, m32 = _cell_arrays(chunk[:-1])
-        st = chunk[-1]
-        R = jax.lax.dot_general(
-            th, beta_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        W = jnp.where(m32 > 0, x32 / jnp.maximum(R, floor), 0.0)
-        sa = sa + jax.lax.dot_general(
-            W, th, contract0, preferred_element_type=jnp.float32, precision=prec
-        )
-        sw = sw + jax.lax.dot_general(
-            m32, st, contract0, preferred_element_type=jnp.float32, precision=prec
-        )
-        return (sa, sw), None
+    def core(th_full, st_full, xh, mm, lo_t):
+        def body(carry, chunk):
+            sa, sw = carry
+            th, x32, m32 = _cell_arrays(chunk[:-1])
+            st = chunk[-1]
+            R = jax.lax.dot_general(
+                th, beta_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            W = jnp.where(m32 > 0, x32 / jnp.maximum(R, floor), 0.0)
+            sa = sa + jax.lax.dot_general(
+                W, th, contract0, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            sw = sw + jax.lax.dot_general(
+                m32, st, contract0, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            return (sa, sw), None
 
-    zeros = jnp.zeros((hip, K), jnp.float32)
-    (sa, sw), _ = jax.lax.scan(body, (zeros, zeros), xs)
+        init = (jnp.zeros((hip, K), jnp.float32),) * 2
+        if varying:
+            init = jax.tree_util.tree_map(
+                lambda z: jax.lax.pcast(z, ("data",), to="varying"), init
+            )
+        (sa, sw), _ = jax.lax.scan(
+            body, init,
+            _row_chunked((th_full, xh, mm) + lo_t + (st_full,), r0),
+        )
+        return sa, sw
+
+    n_dev = 1 if mesh is None else mesh.devices.size
+    if n_dev <= 1 or (head.hu // r0) % n_dev:
+        varying = False
+        sa, sw = core(theta_h, stheta_h, head.x_hi, head.m, lo)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        row = P("data", None)
+        varying = True
+
+        def local_fn(th_full, st_full, xh, mm, lo_t):
+            return jax.lax.psum(
+                core(th_full, st_full, xh, mm, lo_t), "data"
+            )
+
+        sa, sw = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=(row, row, row, row, row),
+            out_specs=P(),
+        )(theta_h, stheta_h, head.x_hi, head.m, lo)
     return beta_h * sa, sw
 
 

@@ -216,7 +216,7 @@ def ext_factor_stats(
             if head_side == "user":
                 sa_h, sw_h = ext_head_stats(
                     theta_h, beta_h, s_h[:, None] * beta_h, tier, rate_floor,
-                    precision,
+                    precision, mesh=mesh,
                 )
                 head_adds.append(
                     (tier.row_start, jnp.concatenate([sa_h, sw_h], axis=1))
@@ -224,7 +224,7 @@ def ext_factor_stats(
             else:
                 sa_h, sw_h = ext_head_stats_t(
                     theta_h, beta_h, s_h[:, None] * theta_h, tier, rate_floor,
-                    precision,
+                    precision, mesh=mesh,
                 )
                 head_adds.append(
                     (0, jnp.concatenate([sa_h[: tier.hi], sw_h[: tier.hi]],

@@ -187,6 +187,45 @@ def test_hpf_head_sharded_over_mesh(small_ratings):
         )
 
 
+def test_extended_head_mesh_matches_unsharded(small_ratings):
+    """Extended-Poisson hybrid under a mesh (sharded tail + row-sharded
+    head W/scalar products) matches the unsharded sweep."""
+    import jax.numpy as jnp
+
+    from pmf_tpu.parallel import make_mesh
+
+    u, i, x = small_ratings
+    n_users, n_items = 120, 80
+    xs = x + 1.0
+    cfg = poisson_mf.PoissonMFConfig(n_factors=5, extended=True, verbose=False)
+    flat = build_ratings(u, i, xs, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, xs, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=(32, 24), head_r0=4,  # 8 row chunks / 8 devices
+    )
+    sx_user = jnp.asarray(np.bincount(u, weights=xs, minlength=n_users),
+                          jnp.float32)
+    sx_item = jnp.asarray(np.bincount(i, weights=xs, minlength=n_items),
+                          jnp.float32)
+    mesh = make_mesh(8)
+    s_ref = dict(poisson_mf.init_state(n_users, n_items, cfg))
+    s_mesh = dict(s_ref)
+    for _ in range(2):
+        args = (flat.user_counts, flat.item_counts, sx_user, sx_item,
+                cfg.a0, cfg.b0)
+        s_ref = poisson_mf.sweep_blocked_extended(
+            s_ref, blocked, *args, precision="high", interpret=True)
+        s_mesh = poisson_mf.sweep_blocked_extended(
+            s_mesh, blocked, *args, precision="high", interpret=True,
+            mesh=mesh)
+    for k in s_ref:
+        np.testing.assert_allclose(
+            np.asarray(s_ref[k]), np.asarray(s_mesh[k]),
+            rtol=1e-6, atol=1e-7, err_msg=k,
+        )
+
+
 def test_gaussian_head_mesh_matches_unsharded(small_ratings):
     """Gaussian hybrid under a mesh: sharded tail segments + (replicated)
     head products must match the unsharded sweep exactly."""
