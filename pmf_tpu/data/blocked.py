@@ -471,6 +471,11 @@ def _build_head(
     Columns pad to a 512 multiple so the fused allocation kernel can tile
     512-wide (128-wide tiles made the grid overhead-bound)."""
     hip = -(-hi // 512) * 512
+    if hu * hip >= 2**31:
+        raise ValueError(
+            f"head tier ({hu} x {hip}) exceeds int32 flat-index range "
+            f"({hu * hip} cells >= 2^31); shrink head_bytes or the tier"
+        )
     idx = jnp.asarray(nu.astype(np.int32) * np.int32(hip) + ni.astype(np.int32))
     xs = jnp.asarray(x.astype(np.float32))
 

@@ -117,6 +117,13 @@ def recommend(
     have_train = train_index is not None
     if have_train:
         row_ptr, ti_dev = train_index
+        if len(row_ptr) - 1 < theta.shape[0]:
+            # A prebuilt index sized from max(train_u)+1 would IndexError on
+            # valid cold users above the largest trained user; pad so those
+            # users simply have zero exclusions.
+            pad = np.full(theta.shape[0] - (len(row_ptr) - 1), row_ptr[-1],
+                          dtype=row_ptr.dtype)
+            row_ptr = np.concatenate([row_ptr, pad])
         lo_all = row_ptr[users]
         cnt_all = row_ptr[users + 1] - lo_all
 

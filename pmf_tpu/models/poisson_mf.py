@@ -57,7 +57,8 @@ class PoissonMFConfig:
     extended: bool = False  # True == reference's poisson_mf_extended_cavi
     dtype: str = "float32"
     # "flat" | "blocked_high" | "blocked_fast" | "auto" (see HPFConfig.engine).
-    # The extended variant always uses the flat engine.
+    # Both variants support the blocked Pallas engines (the extended one
+    # dispatches `sweep_blocked_extended`).
     engine: str = "auto"
 
 

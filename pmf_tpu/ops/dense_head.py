@@ -372,6 +372,18 @@ def _parts_of(precision: str) -> int:
     return 1 if precision in ("fast", "fast_bf16") else 2
 
 
+def _dot_exact(A: jax.Array, B: jax.Array, transpose_a: bool) -> jax.Array:
+    """HIGHEST-precision f32 dot for the "highest" cross-check tier — no
+    bf16 part planes, so the only error left is the head's bf16x2 cell
+    storage (~2^-17 relative), matching the edge kernels' exactness as
+    closely as the stored data allows."""
+    contract = (((0,), (0,)), ((), ())) if transpose_a else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(
+        A, B, contract, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _decompose_list(B: jax.Array, parts: int) -> list:
     """f32 (n, c) -> list of ``parts`` exact bf16 (n, c) mantissa planes."""
     from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16
@@ -438,9 +450,14 @@ def head_products(
     mesh: optional 1-D data mesh — user rows shard across devices when
     the row-chunk count divides the device count (payload tables
     replicate; outputs concatenate along rows); replicated otherwise."""
+    exact = precision == "highest"
     parts = _parts_of(precision)
-    Bp = tuple(_decompose_list(other_tab, parts))
-    Xt = tuple(_decompose_list(x_tab, parts)) if x_tab is not None else ()
+    if exact:
+        Bp = (other_tab.astype(jnp.float32),)
+        Xt = (x_tab.astype(jnp.float32),) if x_tab is not None else ()
+    else:
+        Bp = tuple(_decompose_list(other_tab, parts))
+        Xt = tuple(_decompose_list(x_tab, parts)) if x_tab is not None else ()
     lo = (head.x_lo,) if head.x_lo is not None else ()
     r0 = head.r0
 
@@ -449,14 +466,24 @@ def head_products(
 
         def body(_, chunk):
             xh_c, mm_c, *lo_c = chunk
-            mp = _dot_part_lists(_m_parts(mm_c, parts), list(bp_t),
-                                 transpose_a=False)
+            if exact:
+                mp = _dot_exact(mm_c.astype(jnp.float32), bp_t[0],
+                                transpose_a=False)
+            else:
+                mp = _dot_part_lists(_m_parts(mm_c, parts), list(bp_t),
+                                     transpose_a=False)
             outs = (mp,)
             if xt_t:
-                # x_hi / x_lo ARE the stored 2-part decomposition of X.
-                xparts = [xh_c] + ([lo_c[0]] if lo_c and parts > 1 else [])
-                outs += (_dot_part_lists(xparts, list(xt_t),
-                                         transpose_a=False),)
+                if exact:
+                    x32 = xh_c.astype(jnp.float32)
+                    if lo_c:
+                        x32 = x32 + lo_c[0].astype(jnp.float32)
+                    outs += (_dot_exact(x32, xt_t[0], transpose_a=False),)
+                else:
+                    # x_hi / x_lo ARE the stored 2-part decomposition of X.
+                    xparts = [xh_c] + ([lo_c[0]] if lo_c and parts > 1 else [])
+                    outs += (_dot_part_lists(xparts, list(xt_t),
+                                             transpose_a=False),)
             return None, outs
 
         _, outs = jax.lax.scan(body, None, _row_chunked((xh, mm) + lo_t, r0))
@@ -493,12 +520,17 @@ def head_products_t(
 
     mesh: optional 1-D data mesh — user rows shard across devices
     (contraction axis), partials psum over ICI; replicated otherwise."""
+    exact = precision == "highest"
     parts = _parts_of(precision)
     r0 = head.r0
     hip = head.m.shape[1]
     with_x = x_tab is not None
-    st_planes = tuple(_decompose_list(self_tab, parts))
-    xt_planes = tuple(_decompose_list(x_tab, parts)) if with_x else ()
+    if exact:
+        st_planes = (self_tab.astype(jnp.float32),)
+        xt_planes = (x_tab.astype(jnp.float32),) if with_x else ()
+    else:
+        st_planes = tuple(_decompose_list(self_tab, parts))
+        xt_planes = tuple(_decompose_list(x_tab, parts)) if with_x else ()
     lo = (head.x_lo,) if head.x_lo is not None else ()
 
     def core(xh, mm, lo_t, st_t, xt_t):
@@ -512,14 +544,27 @@ def head_products_t(
             cells, st_p, xt_p = chunk
             xh_c, mm_c, *lo_c = cells
             carry = list(carry)
-            carry[0] = carry[0] + _dot_part_lists(
-                _m_parts(mm_c, parts), list(st_p), transpose_a=True
-            )
-            if xt_t:
-                xparts = [xh_c] + ([lo_c[0]] if lo_c and parts > 1 else [])
-                carry[1] = carry[1] + _dot_part_lists(
-                    xparts, list(xt_p), transpose_a=True
+            if exact:
+                carry[0] = carry[0] + _dot_exact(
+                    mm_c.astype(jnp.float32), st_p[0], transpose_a=True
                 )
+            else:
+                carry[0] = carry[0] + _dot_part_lists(
+                    _m_parts(mm_c, parts), list(st_p), transpose_a=True
+                )
+            if xt_t:
+                if exact:
+                    x32 = xh_c.astype(jnp.float32)
+                    if lo_c:
+                        x32 = x32 + lo_c[0].astype(jnp.float32)
+                    carry[1] = carry[1] + _dot_exact(
+                        x32, xt_p[0], transpose_a=True
+                    )
+                else:
+                    xparts = [xh_c] + ([lo_c[0]] if lo_c and parts > 1 else [])
+                    carry[1] = carry[1] + _dot_part_lists(
+                        xparts, list(xt_p), transpose_a=True
+                    )
             return tuple(carry), None
 
         init = (jnp.zeros((hip, st_t[0].shape[1]), jnp.float32),) + (

@@ -366,6 +366,129 @@ def test_extended_poisson_head_matches_flat(small_ratings):
         )
 
 
+# --- Per-tier single-sweep gates --------------------------------------
+# Tolerances mirror the advertised error budget (bench.py
+# `engine_stat_error`: high ~3e-7 HPF bf16x3 / ~2e-5 Gaussian bf16x2;
+# mid ~2e-5 HPF, Gaussian w-stat ~2e-5 + A-stat ~2e-3; fast ~6e-3) with
+# ~4x headroom after one sweep's K x K solve / gamma-ratio amplification.
+# The round-2 blanket 5e-3 gate would have passed a 100x high-tier
+# regression; these fail it.
+HPF_TIER_RTOL = {"high": 5e-6, "mid": 2e-4, "fast": 5e-2}
+GAUSS_TIER_RTOL = {"high": 2e-4, "mid": 2e-2, "fast": 5e-2}
+
+
+@pytest.mark.parametrize("precision", ["high", "mid", "fast"])
+def test_hpf_hybrid_tier_error_budget(small_ratings, precision):
+    """ONE hybrid sweep from a shared init vs the flat sweep: per-tier
+    statistic error must stay within the advertised tier budget."""
+    u, i, x = small_ratings
+    xs = x + 1.0
+    n_users, n_items = 120, 80
+    cfg = hpf.HPFConfig(n_factors=6, verbose=False)
+    hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
+    flat = build_ratings(u, i, xs, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, xs, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=(16, 24), head_r0=4,
+    )
+    s0 = hpf.init_state(n_users, n_items, cfg)
+    s_flat = hpf.sweep(dict(s0), flat, *hyper)
+    s_blk = hpf.sweep_blocked(
+        dict(s0), blocked, flat.user_counts, flat.item_counts, *hyper,
+        precision=precision, interpret=True,
+    )
+    rtol = HPF_TIER_RTOL[precision]
+    for k in s_flat:
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=rtol, atol=rtol, err_msg=f"{k} @ {precision}",
+        )
+
+
+@pytest.mark.parametrize("precision", ["high", "mid", "fast"])
+def test_gaussian_hybrid_tier_error_budget(small_ratings, precision):
+    from pmf_tpu.models import gaussian_mf
+
+    u, i, x = small_ratings
+    xc = x.astype(np.float32) - np.float32(x.mean())
+    n_users, n_items = 120, 80
+    cfg = gaussian_mf.GaussianMFConfig(
+        n_factors=5, sigma2=0.5, eta_theta2=0.4, eta_beta2=0.4, eta_bias2=0.7,
+        verbose=False,
+    )
+    flat = build_ratings(u, i, xc, n_users=n_users, n_items=n_items)
+    blocked = build_blocked(
+        u, i, xc, n_users=n_users, n_items=n_items,
+        block_users=32, block_items=32, chunk_size=16, group=2,
+        reorder=True, head=(16, 24), head_r0=4,
+    )
+    s0 = gaussian_mf.init_state(n_users, n_items, cfg)
+    s_flat = gaussian_mf.sweep(
+        dict(s0), flat, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+        cfg.eta_bias2, cfg.n_factors, True,
+    )
+    s_blk = gaussian_mf.sweep_blocked(
+        dict(s0), blocked, flat.user_counts, flat.item_counts,
+        cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
+        True, precision=precision, interpret=True,
+    )
+    rtol = GAUSS_TIER_RTOL[precision]
+    for k in ("m_theta", "m_beta", "V_theta", "V_beta", "b_user", "b_item"):
+        np.testing.assert_allclose(
+            np.asarray(s_flat[k]), np.asarray(s_blk[k]),
+            rtol=rtol, atol=rtol, err_msg=f"{k} @ {precision}",
+        )
+
+
+def test_head_products_highest_is_exact_f32():
+    """'highest' head products run HIGHEST f32 dots on the recombined
+    cells — error vs an f64 oracle is storage-only (~2^-17), at least 10x
+    tighter than the bf16x2 'high' part dots (ADVICE r2: 'highest' was
+    silently mapping to part planes)."""
+    from pmf_tpu.ops.dense_head import head_products, head_products_t
+
+    rng = np.random.default_rng(5)
+    hu, hi, W = 16, 24, 7
+    u = rng.integers(0, hu, 4000)
+    i = rng.integers(0, hi, 4000)
+    x = (rng.random(4000) * 5).astype(np.float32)  # non-bf16-exact
+    from pmf_tpu.data.blocked import _build_head
+
+    head = _build_head(u, i, x, hu, hi, r0=4)
+    assert head.x_lo is not None
+    tab = rng.standard_normal((head.m.shape[1], W)).astype(np.float32)
+    xtab = rng.standard_normal((head.m.shape[1], W)).astype(np.float32)
+
+    X = np.zeros((hu, head.m.shape[1]))
+    M = np.zeros_like(X)
+    np.add.at(X, (u, i), x.astype(np.float64))
+    np.add.at(M, (u, i), 1.0)
+    want_m = M @ tab.astype(np.float64)
+    want_x = X @ xtab.astype(np.float64)
+
+    def err(precision):
+        got_m, got_x = head_products(head, tab, xtab, precision=precision)
+        scale = max(np.abs(want_x).max(), 1.0)
+        return max(
+            np.abs(np.asarray(got_m, np.float64) - want_m).max(),
+            np.abs(np.asarray(got_x, np.float64) - want_x).max(),
+        ) / scale
+
+    e_highest, e_high = err("highest"), err("high")
+    assert e_highest < 5e-5
+    assert e_highest <= e_high + 1e-9
+
+    # transposed variant
+    stab = rng.standard_normal((hu, W)).astype(np.float32)
+    got_mt, got_xt = head_products_t(head, stab, stab, precision="highest")
+    want_mt = M.T @ stab.astype(np.float64)
+    want_xt = X.T @ stab.astype(np.float64)
+    scale = max(np.abs(want_xt).max(), 1.0)
+    assert np.abs(np.asarray(got_mt, np.float64) - want_mt).max() / scale < 5e-5
+    assert np.abs(np.asarray(got_xt, np.float64) - want_xt).max() / scale < 5e-5
+
+
 def _gaussian_states(u, i, x, n_users, n_items, head, use_bias, bias_update,
                      iters=3):
     from pmf_tpu.models import gaussian_mf

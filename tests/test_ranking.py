@@ -152,6 +152,26 @@ def test_recommend_ranks_with_item_bias(small_splits):
                                    atol=1e-5)
 
 
+def test_recommend_cold_user_above_trained_range():
+    """A prebuilt exclusion index sized from max(train_u)+1 must still
+    serve valid cold users above the largest trained user (row_ptr pads
+    to theta's rows; those users get zero exclusions)."""
+    from pmf_tpu.eval.recommend import build_exclusion_index, recommend
+
+    rng = np.random.default_rng(7)
+    theta = rng.standard_normal((12, 3)).astype(np.float32)
+    beta = rng.standard_normal((9, 3)).astype(np.float32)
+    tu = np.array([0, 0, 1, 2, 2, 5])  # max trained user = 5 < 12 rows
+    ti = np.array([1, 3, 0, 4, 5, 2])
+    idx = build_exclusion_index(tu, ti)  # n_users defaulted to 6
+    items, scores = recommend(theta, beta, [5, 11], k=4, train_index=idx)
+    # user 11 (cold): plain argsort, nothing excluded
+    want = np.argsort(-(theta[11] @ beta.T), kind="stable")[:4]
+    np.testing.assert_array_equal(np.sort(items[1]), np.sort(want))
+    # user 5: its train item 2 stays excluded
+    assert 2 not in items[0]
+
+
 def test_recommend_out_of_range_user_raises():
     import pytest
 
