@@ -99,7 +99,10 @@ def ranking_metrics(
         _train_higher_counts(theta, beta, tu, ti, jnp.asarray(thresholds), n_users)
     )
 
-    rank = rank_all - higher_train[test_u, slot] + 1.0
+    # A held-out pair that ALSO occurs in train (duplicate interactions
+    # survive the reference's split) would subtract its own score here and
+    # reach rank 0; it is the target, so it cannot be excluded — clamp to 1.
+    rank = np.maximum(rank_all - higher_train[test_u, slot] + 1.0, 1.0)
     out = {"mean_rank": float(rank.mean()) if P else float("nan"), "n_pairs": P}
     for k in ks:
         hit = rank <= k

@@ -570,10 +570,22 @@ class GaussianMF(FactorModel):
 
     def fit(self, train_df, val_df=None, global_mean: float = 0.0,
             resume_from=None, checkpoint_dir=None, checkpoint_every=10,
-            mesh=None, profile_dir=None):
+            mesh=None, profile_dir=None, state_sharding=None):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip training
-        (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`)."""
+        (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`).
+        ``state_sharding="rows"``: additionally shard the factor STATE over
+        mesh rows and train with ring sweeps (`pmf_tpu.parallel.tp`) — the
+        TP mode for state that exceeds one chip's HBM (full-covariance
+        V_theta/V_beta at (rows, K, K), SURVEY §2e)."""
         cfg = self.config
+        if state_sharding == "rows":
+            if mesh is None:
+                raise ValueError("state_sharding='rows' requires a mesh")
+            return self._fit_tp(train_df, val_df, global_mean, resume_from,
+                                checkpoint_dir, checkpoint_every, mesh,
+                                profile_dir)
+        if state_sharding not in (None, "replicated"):
+            raise ValueError(f"unknown state_sharding {state_sharding!r}")
         self.global_mean = float(global_mean)
         data = self._build_train(train_df)
         self.n_users, self.n_items = data.n_users, data.n_items
@@ -667,6 +679,78 @@ class GaussianMF(FactorModel):
             edge_visits_per_iter=(4 if cfg.use_bias else 2) * data.nnz,
         )
         self.state = loop.run(state, data, val)
+        self.fit_history = loop.history
+        return self
+
+    def _fit_tp(self, train_df, val_df, global_mean, resume_from,
+                checkpoint_dir, checkpoint_every, mesh, profile_dir):
+        """Row-sharded (TP) training: state shards stay distributed through
+        every sweep, eval, and checkpoint; per-chip state memory is
+        O(rows/D * K^2).  Ring sweeps share the flat blocks' math — full-fit
+        equivalence at 1e-10 is tested on the 8-virtual-device CPU mesh
+        (`tests/test_tp_fit.py`)."""
+        from pmf_tpu.parallel.tp import (
+            GAUSSIAN_AXIS_OF,
+            build_tp_layout,
+            pad_state_rows,
+            place_tp,
+            slice_state_rows,
+            tp_sweep_gaussian,
+        )
+
+        cfg = self.config
+        if cfg.use_bias and cfg.bias_update != "exact":
+            raise ValueError("TP mode supports bias_update='exact' only")
+        self.global_mean = float(global_mean)
+        u, i, x = as_triples(train_df)
+        self.n_users = int(u.max()) + 1
+        self.n_items = int(i.max()) + 1
+        if cfg.verbose:
+            print(f"Inferred n_users={self.n_users}, n_items={self.n_items} "
+                  f"(TP over {mesh.devices.size} devices)", flush=True)
+        layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
+                                 mesh.devices.size, dtype=self._dtype)
+        # TP checkpoints carry mesh-padded row counts; restore against the
+        # padded default (cross-mode resume would need a repad, unsupported).
+        state = self._initial_state(
+            pad_state_rows(init_state(self.n_users, self.n_items, cfg),
+                           GAUSSIAN_AXIS_OF, layout.n_users_pad,
+                           layout.n_items_pad),
+            resume_from)
+        layout, state = place_tp(layout, state, mesh)
+
+        sweep_tp = jax.jit(
+            lambda s, lo: tp_sweep_gaussian(
+                s, lo, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+                cfg.eta_bias2, use_bias=cfg.use_bias,
+                covariance=cfg.covariance, mesh=mesh,
+            )
+        )
+
+        def eval_fn(s, ev):
+            return eval_metrics(s, ev, cfg.use_bias)
+
+        val = None
+        if val_df is not None:
+            from pmf_tpu.parallel import shard_eval_set
+
+            val = shard_eval_set(self._build_eval(val_df), mesh)
+        loop = FitLoop(
+            lambda s, lo: sweep_tp(s, lo),
+            eval_fn,
+            cfg.max_iter,
+            cfg.tol,
+            gaussian_stop_rule,
+            verbose=cfg.verbose,
+            name="GaussianMF[tp]",
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            profile_dir=profile_dir,
+            edge_visits_per_iter=(4 if cfg.use_bias else 2) * layout.nnz,
+        )
+        state = loop.run(state, layout, val)
+        self.state = slice_state_rows(state, GAUSSIAN_AXIS_OF,
+                                      self.n_users, self.n_items)
         self.fit_history = loop.history
         return self
 

@@ -1,0 +1,369 @@
+"""Tensor-parallel training: row-sharded factor state with ring sweeps.
+
+The reference keeps every factor matrix whole in host memory
+(`/root/reference/src/models/gaussian_mf_cavi.py:51-57`); the DP mode here
+replicates state per chip.  For state that exceeds one chip's HBM — the
+SURVEY §2e TP motivation, concretely the Gaussian full-covariance
+``V_theta``/``V_beta`` at (rows, K, K) — this module shards state rows
+across the mesh and keeps them sharded through the entire fit.
+
+Design (TPU-native, not a translation):
+
+* **Row-aligned D x D bucketed COO.**  Each device owns a contiguous row
+  range of users AND of items (``users_per`` / ``items_per`` rows).  The
+  edges are laid out twice as ``(D, D, max_e)`` tensors: axis 0 = the
+  device that owns the edge's SELF row (user for the theta/b_user blocks,
+  item for beta/b_item), axis 1 = the ring step at which the OTHER side's
+  owning shard visits.  Bucket ``(d, s)`` holds the edges of device ``d``
+  whose other-side row lives on device ``(d + s) % D``.  Padding uses a
+  trash segment row (id ``rows_per``) so no masking is needed.
+
+* **Ring visits instead of all-gathers.**  A CAVI factor block needs, per
+  edge, the other side's sufficient-statistic rows (E[bb^T], means,
+  biases).  Gathering those through GSPMD would all-gather the full other
+  table to every chip — exactly the HBM blow-up TP is meant to avoid.
+  Instead each block runs a `lax.scan` of D steps inside `shard_map`:
+  the visiting tables rotate over ICI with `lax.ppermute` (bandwidth-
+  optimal ring, like distributed matmul), each step consumes the one
+  bucket whose rows are resident, and per-device peak memory stays at
+  O((rows/D) * K^2) regardless of total model size.
+
+* Per-edge math, update algebra, and keep-stale-when-empty semantics are
+  shared with the flat sweeps (`pmf_tpu.models.gaussian_mf._factor_block`
+  etc.), so the fixed point and per-iteration trajectory match the
+  single-device engines to summation-order rounding (tested at 1e-10 in
+  f64, `tests/test_tp_fit.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pmf_tpu.parallel.mesh import DATA_AXIS
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "u_loc_by_u", "i_loc_by_u", "x_by_u",
+        "i_loc_by_i", "u_loc_by_i", "x_by_i",
+        "user_counts", "item_counts",
+    ],
+    meta_fields=["n_users", "n_items", "n_users_pad", "n_items_pad",
+                 "users_per", "items_per", "n_devices", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class TPLayout:
+    """Row-aligned bucketed COO for ring sweeps (see module docstring).
+
+    ``*_by_u``: (D, D, max_eu) — [device (user shard), ring step, edge].
+    ``u_loc``/``i_loc`` are LOCAL row ids: self ids in [0, rows_per]
+    (rows_per = trash row), other ids in [0, other_per) relative to the
+    visiting shard.  ``*_by_i`` mirrors with items as self.
+    ``user_counts``/``item_counts``: (n_pad,) observation counts."""
+
+    u_loc_by_u: jax.Array
+    i_loc_by_u: jax.Array
+    x_by_u: jax.Array
+    i_loc_by_i: jax.Array
+    u_loc_by_i: jax.Array
+    x_by_i: jax.Array
+    user_counts: jax.Array
+    item_counts: jax.Array
+    n_users: int
+    n_items: int
+    n_users_pad: int
+    n_items_pad: int
+    users_per: int
+    items_per: int
+    n_devices: int
+    nnz: int
+
+
+def _bucketize(self_ids, other_ids, x, self_per, other_per, D, dtype):
+    """Build one (D, D, max_e) bucketed direction (self-sorted)."""
+    d = self_ids // self_per  # owning device
+    v = other_ids // other_per  # other-side shard
+    s = (v - d) % D  # ring step at which shard v visits device d
+    key = d * D + s
+    order = np.lexsort((self_ids, key))
+    self_ids, other_ids, x = self_ids[order], other_ids[order], x[order]
+    key = key[order]
+    sizes = np.bincount(key, minlength=D * D)
+    max_e = max(int(sizes.max()), 1)
+
+    self_loc = np.full((D * D, max_e), self_per, dtype=np.int32)
+    other_loc = np.zeros((D * D, max_e), dtype=np.int32)
+    xs = np.zeros((D * D, max_e), dtype=dtype)
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    for b in range(D * D):
+        lo, hi = starts[b], starts[b + 1]
+        n = hi - lo
+        if n == 0:
+            continue
+        self_loc[b, :n] = self_ids[lo:hi] - (b // D) * self_per
+        other_loc[b, :n] = other_ids[lo:hi] % other_per
+        xs[b, :n] = x[lo:hi]
+    return (
+        self_loc.reshape(D, D, max_e),
+        other_loc.reshape(D, D, max_e),
+        xs.reshape(D, D, max_e),
+    )
+
+
+def build_tp_layout(u, i, x, n_users: int, n_items: int, n_devices: int,
+                    dtype=np.float32) -> TPLayout:
+    """Host-side build of the bucketed dual layout."""
+    u = np.asarray(u, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    x = np.asarray(x, dtype=dtype)
+    D = int(n_devices)
+    users_per = _round_up(n_users, D) // D
+    items_per = _round_up(n_items, D) // D
+    n_users_pad, n_items_pad = users_per * D, items_per * D
+
+    ul_u, il_u, x_u = _bucketize(u, i, x, users_per, items_per, D, dtype)
+    il_i, ul_i, x_i = _bucketize(i, u, x, items_per, users_per, D, dtype)
+
+    uc = np.zeros(n_users_pad, dtype=np.float32)
+    ic = np.zeros(n_items_pad, dtype=np.float32)
+    np.add.at(uc, u, 1.0)
+    np.add.at(ic, i, 1.0)
+
+    return TPLayout(
+        u_loc_by_u=jnp.asarray(ul_u), i_loc_by_u=jnp.asarray(il_u),
+        x_by_u=jnp.asarray(x_u),
+        i_loc_by_i=jnp.asarray(il_i), u_loc_by_i=jnp.asarray(ul_i),
+        x_by_i=jnp.asarray(x_i),
+        user_counts=jnp.asarray(uc), item_counts=jnp.asarray(ic),
+        n_users=n_users, n_items=n_items,
+        n_users_pad=n_users_pad, n_items_pad=n_items_pad,
+        users_per=users_per, items_per=items_per,
+        n_devices=D, nnz=int(u.shape[0]),
+    )
+
+
+def pad_state_rows(state: dict, axis_of: dict, n_users_pad: int,
+                   n_items_pad: int) -> dict:
+    """Zero-pad each state array's leading (row) dimension to the mesh-
+    aligned size.  ``axis_of[key]`` is "u" or "i"."""
+    out = {}
+    for k, v in state.items():
+        target = n_users_pad if axis_of[k] == "u" else n_items_pad
+        pad = target - v.shape[0]
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+        out[k] = v
+    return out
+
+
+def slice_state_rows(state: dict, axis_of: dict, n_users: int,
+                     n_items: int) -> dict:
+    return {k: v[: (n_users if axis_of[k] == "u" else n_items)]
+            for k, v in state.items()}
+
+
+def place_tp(layout: TPLayout, state: dict, mesh) -> tuple:
+    """Device placement: edge buckets shard on axis 0 (one device's
+    buckets per chip), counts and state rows shard on their leading row
+    axis."""
+    row = NamedSharding(mesh, P(DATA_AXIS))
+    put = jax.device_put
+    layout = dataclasses.replace(
+        layout,
+        u_loc_by_u=put(layout.u_loc_by_u, row),
+        i_loc_by_u=put(layout.i_loc_by_u, row),
+        x_by_u=put(layout.x_by_u, row),
+        i_loc_by_i=put(layout.i_loc_by_i, row),
+        u_loc_by_i=put(layout.u_loc_by_i, row),
+        x_by_i=put(layout.x_by_i, row),
+        user_counts=put(layout.user_counts, row),
+        item_counts=put(layout.item_counts, row),
+    )
+    state = {k: put(v, row) for k, v in state.items()}
+    return layout, state
+
+
+def _ring(tables: tuple, buckets: tuple, accs: tuple, body, D: int):
+    """Run D ring steps: consume bucket s against the visiting tables,
+    then rotate the tables one hop (device d receives from d+1, so at
+    step s it holds shard (d+s) % D — matching the bucket build)."""
+    perm = [(j, (j - 1) % D) for j in range(D)]
+
+    def step(carry, xs):
+        tabs, accs = carry
+        accs = body(tabs, xs, accs)
+        tabs = tuple(
+            jax.lax.ppermute(t, DATA_AXIS, perm) for t in tabs
+        )
+        return (tabs, accs), None
+
+    (_, accs), _ = jax.lax.scan(step, (tables, accs), buckets)
+    return accs
+
+
+def _segsum(data, ids, n):
+    return jax.ops.segment_sum(data, ids, num_segments=n,
+                               indices_are_sorted=True)
+
+
+def _pad_row(a):
+    """Append one zero trash row along axis 0."""
+    return jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
+
+
+def tp_sweep_gaussian(
+    state: dict,
+    layout: TPLayout,
+    sigma2,
+    eta_theta2,
+    eta_beta2,
+    eta_bias2,
+    *,
+    use_bias: bool,
+    covariance: str,
+    mesh,
+):
+    """One full Gaussian CAVI iteration with row-sharded state — the
+    reference's exact block order (theta, beta, b_user, b_item,
+    `gaussian_mf_cavi_bias.py:125-263`) as four ring passes."""
+    D = layout.n_devices
+    row = P(DATA_AXIS)
+    rep = P()
+    state_specs = {k: row for k in state}
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, (row,) * 6, row, row, rep, rep, rep, rep),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    def _sweep(st, buckets, counts_u, counts_i, s2, et2, eb2, ebias2):
+        ul_u, il_u, x_u, il_i, ul_i, x_i = (b[0] for b in buckets)
+        users_per, items_per = counts_u.shape[0], counts_i.shape[0]
+        m_t, V_t = st["m_theta"], st["V_theta"]
+        m_b, V_b = st["m_beta"], st["V_beta"]
+        b_u, b_i = st["b_user"], st["b_item"]
+        dt = m_t.dtype
+        K = m_t.shape[-1]
+        full = covariance == "full"
+
+        def factor_block(m_self, V_self, m_other, V_other, b_self, b_other,
+                         self_loc, other_loc, xs, counts, eta2, n_self):
+            b_self_pad = _pad_row(b_self) if use_bias else None
+            m_self_pad = _pad_row(m_self)
+
+            if full:
+                A = (V_other + m_other[:, :, None] * m_other[:, None, :]
+                     ).reshape(-1, K * K)
+                tables = (A, m_other) + ((b_other,) if use_bias else ())
+
+                def body(tabs, xs_s, accs):
+                    A_vis, m_vis = tabs[0], tabs[1]
+                    sl, ol, xv = xs_s
+                    S, w = accs
+                    S = S + _segsum(A_vis[ol], sl, n_self + 1)
+                    resid = xv
+                    if use_bias:
+                        resid = resid - b_self_pad[sl] - tabs[2][ol]
+                    w = w + _segsum(m_vis[ol] * resid[:, None], sl, n_self + 1)
+                    return S, w
+
+                S0 = jnp.zeros((n_self + 1, K * K), dt)
+                w0 = jnp.zeros((n_self + 1, K), dt)
+                S, w = _ring(tables, (self_loc, other_loc, xs), (S0, w0),
+                             body, D)
+                S = S[:n_self].reshape(n_self, K, K)
+                w = w[:n_self]
+                from pmf_tpu.ops.solve import batched_psd_inverse
+
+                eye = jnp.eye(K, dtype=dt)
+                precision = eye / jnp.asarray(eta2, dt) + S / jnp.asarray(s2, dt)
+                V_new = batched_psd_inverse(precision)
+                m_new = jnp.einsum("rkl,rl->rk", V_new, w) / jnp.asarray(s2, dt)
+                has = (counts > 0)[:, None]
+                return (jnp.where(has, m_new, m_self),
+                        jnp.where(has[:, :, None], V_new, V_self))
+
+            # Diagonal covariance (same math as _factor_block_diag).
+            sq = V_other + m_other * m_other
+            tables = (sq, m_other) + ((b_other,) if use_bias else ())
+
+            def body(tabs, xs_s, accs):
+                sq_vis, m_vis = tabs[0], tabs[1]
+                sl, ol, xv = xs_s
+                S_sq, S_mr, S_mm = accs
+                m_e = m_vis[ol]
+                resid = xv
+                if use_bias:
+                    resid = resid - b_self_pad[sl] - tabs[2][ol]
+                pred = jnp.sum(m_self_pad[sl] * m_e, axis=-1)
+                S_sq = S_sq + _segsum(sq_vis[ol], sl, n_self + 1)
+                S_mr = S_mr + _segsum(m_e * (resid - pred)[:, None], sl,
+                                      n_self + 1)
+                S_mm = S_mm + _segsum(m_e * m_e, sl, n_self + 1)
+                return S_sq, S_mr, S_mm
+
+            z = jnp.zeros((n_self + 1, K), dt)
+            S_sq, S_mr, S_mm = _ring(tables, (self_loc, other_loc, xs),
+                                     (z, z, z), body, D)
+            S_sq, S_mr, S_mm = S_sq[:n_self], S_mr[:n_self], S_mm[:n_self]
+            prec = 1.0 / jnp.asarray(eta2, dt) + S_sq / jnp.asarray(s2, dt)
+            v_new = 1.0 / prec
+            m_new = (S_mr + m_self * S_mm) / (jnp.asarray(s2, dt) * prec)
+            has = (counts > 0)[:, None]
+            return (jnp.where(has, m_new, m_self),
+                    jnp.where(has, v_new, V_self))
+
+        def bias_block(b_self, b_other, m_self, m_other, self_loc, other_loc,
+                       xs, counts, n_self):
+            m_self_pad = _pad_row(m_self)
+
+            def body(tabs, xs_s, accs):
+                m_vis, b_vis = tabs
+                sl, ol, xv = xs_s
+                inter = jnp.sum(m_self_pad[sl] * m_vis[ol], axis=-1)
+                resid = xv - b_vis[ol] - inter
+                return (accs[0] + _segsum(resid, sl, n_self + 1),)
+
+            (s,) = _ring((m_other, b_other), (self_loc, other_loc, xs),
+                         (jnp.zeros(n_self + 1, dt),), body, D)
+            s = s[:n_self]
+            prec = 1.0 / jnp.asarray(ebias2, dt) + counts.astype(dt) / jnp.asarray(s2, dt)
+            return jnp.where(counts > 0, s / (prec * jnp.asarray(s2, dt)),
+                             b_self)
+
+        m_t, V_t = factor_block(m_t, V_t, m_b, V_b, b_u, b_i,
+                                ul_u, il_u, x_u, counts_u, et2, users_per)
+        m_b, V_b = factor_block(m_b, V_b, m_t, V_t, b_i, b_u,
+                                il_i, ul_i, x_i, counts_i, eb2, items_per)
+        if use_bias:
+            b_u = bias_block(b_u, b_i, m_t, m_b, ul_u, il_u, x_u,
+                             counts_u, users_per)
+            b_i = bias_block(b_i, b_u, m_b, m_t, il_i, ul_i, x_i,
+                             counts_i, items_per)
+        return {"m_theta": m_t, "V_theta": V_t, "m_beta": m_b,
+                "V_beta": V_b, "b_user": b_u, "b_item": b_i}
+
+    buckets = (layout.u_loc_by_u, layout.i_loc_by_u, layout.x_by_u,
+               layout.i_loc_by_i, layout.u_loc_by_i, layout.x_by_i)
+    dt = state["m_theta"].dtype
+    return _sweep(state, buckets, layout.user_counts, layout.item_counts,
+                  jnp.asarray(sigma2, dt), jnp.asarray(eta_theta2, dt),
+                  jnp.asarray(eta_beta2, dt), jnp.asarray(eta_bias2, dt))
+
+
+GAUSSIAN_AXIS_OF = {"m_theta": "u", "V_theta": "u", "b_user": "u",
+                    "m_beta": "i", "V_beta": "i", "b_item": "i"}

@@ -1,0 +1,122 @@
+"""TP (row-sharded state) training mode: `fit(mesh=, state_sharding="rows")`.
+
+VERDICT r2 #3: `shard_state_rows` existed but no fit() ever row-sharded
+state.  These tests run the FULL TP fit — ring sweeps over the
+8-virtual-device CPU mesh with state sharded on rows throughout — and
+assert (a) 1e-10 equivalence with the single-device fit (f64), (b) the
+fitted state really is row-sharded, not replicated.
+"""
+
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from pmf_tpu.parallel import DATA_AXIS, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(8)
+
+
+def _assert_states_match(a: dict, b: dict, rtol=1e-10, atol=1e-12):
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=rtol, atol=atol, err_msg=k
+        )
+
+
+@pytest.mark.parametrize("use_bias", [True, False])
+def test_gaussian_tp_full_fit(small_splits, mesh8, use_bias):
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    mean = tx.mean()
+    train, val = (tu, ti, tx - mean), (vu, vi, vx - mean)
+    cfg = dict(n_factors=5, sigma2=0.8, max_iter=8, tol=1e-4, verbose=False,
+               dtype="float64", engine="flat", use_bias=use_bias)
+
+    single = GaussianMF(GaussianMFConfig(**cfg)).fit(train, val,
+                                                     global_mean=mean)
+    tp = GaussianMF(GaussianMFConfig(**cfg)).fit(
+        train, val, global_mean=mean, mesh=mesh8, state_sharding="rows")
+
+    assert len(single.fit_history) == len(tp.fit_history)
+    for rs, rm in zip(single.fit_history, tp.fit_history):
+        assert abs(rs["val_rmse"] - rm["val_rmse"]) < 1e-9
+    _assert_states_match(single.state, tp.state)
+
+
+def test_gaussian_tp_diag_covariance(small_splits, mesh8):
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    mean = tx.mean()
+    train, val = (tu, ti, tx - mean), (vu, vi, vx - mean)
+    cfg = dict(n_factors=5, sigma2=0.8, max_iter=6, tol=1e-4, verbose=False,
+               dtype="float64", engine="flat", use_bias=True,
+               covariance="diag")
+
+    single = GaussianMF(GaussianMFConfig(**cfg)).fit(train, val,
+                                                     global_mean=mean)
+    tp = GaussianMF(GaussianMFConfig(**cfg)).fit(
+        train, val, global_mean=mean, mesh=mesh8, state_sharding="rows")
+    _assert_states_match(single.state, tp.state)
+
+
+def test_tp_state_is_row_sharded(small_splits, mesh8):
+    """The fitted padded state must actually live sharded on the mesh row
+    axis — TP's whole point is per-chip state memory O(rows/D * K^2)."""
+    from pmf_tpu.models.gaussian_mf import GaussianMFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        GAUSSIAN_AXIS_OF,
+        build_tp_layout,
+        pad_state_rows,
+        place_tp,
+        tp_sweep_gaussian,
+    )
+
+    (tu, ti, tx), _, _ = small_splits
+    mean = tx.mean()
+    cfg = GaussianMFConfig(n_factors=5, dtype="float64", verbose=False)
+    n_users, n_items = int(tu.max()) + 1, int(ti.max()) + 1
+    layout = build_tp_layout(tu, ti, tx - mean, n_users, n_items, 8,
+                             dtype=np.float64)
+    state = pad_state_rows(init_state(n_users, n_items, cfg),
+                           GAUSSIAN_AXIS_OF, layout.n_users_pad,
+                           layout.n_items_pad)
+    layout, state = place_tp(layout, state, mesh8)
+    out = tp_sweep_gaussian(state, layout, cfg.sigma2, cfg.eta_theta2,
+                            cfg.eta_beta2, cfg.eta_bias2, use_bias=True,
+                            covariance="full", mesh=mesh8)
+    for k in ("m_theta", "V_theta", "m_beta", "V_beta"):
+        spec = out[k].sharding.spec
+        assert spec and spec[0] == DATA_AXIS, (k, spec)
+        # Each device holds exactly rows/8 of the array.
+        shard_rows = {s.data.shape[0] for s in out[k].addressable_shards}
+        assert shard_rows == {out[k].shape[0] // 8}, (k, shard_rows)
+
+
+def test_tp_checkpoint_resume(small_splits, mesh8, tmp_path):
+    """Checkpoints written from sharded state resume into the TP fit."""
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    mean = tx.mean()
+    train, val = (tu, ti, tx - mean), (vu, vi, vx - mean)
+    base = dict(n_factors=4, sigma2=0.8, tol=None, verbose=False,
+                dtype="float64", engine="flat", use_bias=True)
+
+    full = GaussianMF(GaussianMFConfig(max_iter=6, **base)).fit(
+        train, val, global_mean=mean, mesh=mesh8, state_sharding="rows")
+
+    ck = str(tmp_path / "ck")
+    first = GaussianMF(GaussianMFConfig(max_iter=3, **base)).fit(
+        train, val, global_mean=mean, mesh=mesh8, state_sharding="rows",
+        checkpoint_dir=ck, checkpoint_every=3)
+    assert len(first.fit_history) == 3
+    resumed = GaussianMF(GaussianMFConfig(max_iter=3, **base)).fit(
+        train, val, global_mean=mean, mesh=mesh8, state_sharding="rows",
+        resume_from=ck)
+    _assert_states_match(full.state, resumed.state)
