@@ -58,6 +58,84 @@ def synth_ratings(
     return u[order].astype(np.int64), i[order].astype(np.int64), x[order]
 
 
+def synth_foodcom_raw(
+    raw_dir: str,
+    n_users: int = 25076,
+    n_items: int = 178265,
+    n_raw: int = 1_130_000,
+    seed: int = 7,
+    s_item: float = 0.9,
+    s_user: float = 0.7,
+) -> dict:
+    """Write a Food.com-shaped synthetic RAW Kaggle dataset into
+    ``raw_dir`` — the three files the reference's ``preprocess_data``
+    reads (`/root/reference/src/data/load_data.py:14-16`):
+    ``interactions_{train,validation,test}.csv`` with columns
+    ``user_id, recipe_id, rating``.
+
+    Shape targets match the reference's committed run transcript
+    (`/root/reference/output_hpf_pytorch_v4.txt:6`): 25,076 raw users x
+    178,265 raw items; Zipf item popularity and heavy-tailed per-user
+    activity calibrated so the reference's own filter (items >= 10
+    ratings, then users >= 5 interactions) keeps ~700k interactions
+    (SURVEY.md §6).  User/recipe ids are non-contiguous large integers so
+    the dense re-indexing path (`load_data.py:59-78`) is exercised.
+
+    Returns a stats dict (raw/kept counts)."""
+    import os
+
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+
+    iw = (1.0 + np.arange(n_items)) ** (-s_item)
+    uw = (1.0 + np.arange(n_users)) ** (-s_user)
+    iw /= iw.sum()
+    uw /= uw.sum()
+    u = rng.choice(n_users, size=n_raw, p=uw)
+    i = rng.choice(n_items, size=n_raw, p=iw)
+
+    # Food.com-like rating profile: mostly 4-5 stars, some zeros.
+    probs = np.array([0.05, 0.02, 0.03, 0.08, 0.22, 0.60])
+    x = rng.choice(np.arange(6), size=n_raw, p=probs / probs.sum())
+
+    # Sparse large external ids (sorted-unique draw keeps them distinct).
+    user_ids = np.sort(rng.choice(30_000_000, size=n_users, replace=False))
+    recipe_ids = np.sort(rng.choice(600_000, size=n_items, replace=False))
+
+    df = pd.DataFrame(
+        {"user_id": user_ids[u], "recipe_id": recipe_ids[i], "rating": x}
+    )
+    # Kaggle ships three raw shards; proportions are immaterial (the
+    # reference concatenates them, load_data.py:19).
+    perm = rng.permutation(n_raw)
+    cut1, cut2 = int(n_raw * 0.7), int(n_raw * 0.85)
+    os.makedirs(raw_dir, exist_ok=True)
+    for name, sl in (
+        ("train", perm[:cut1]),
+        ("validation", perm[cut1:cut2]),
+        ("test", perm[cut2:]),
+    ):
+        df.iloc[sl].to_csv(
+            os.path.join(raw_dir, f"interactions_{name}.csv"), index=False
+        )
+
+    ic = np.bincount(i, minlength=n_items)
+    keep_i = ic >= 10
+    mask = keep_i[i]
+    uc = np.bincount(u[mask], minlength=n_users)
+    keep_u = uc >= 5
+    kept = int((keep_u[u] & mask).sum())
+    return {
+        "n_raw": n_raw,
+        "raw_users": n_users,
+        "raw_items": n_items,
+        "kept_interactions": kept,
+        "kept_users": int(keep_u.sum()),
+        "kept_items": int(keep_i.sum()),
+    }
+
+
 def synth_splits(n_users: int, n_items: int, n_ratings: int, seed: int = 0):
     """Synthesize train/val/test triples with the reference's per-user
     leave-out flavor: last rating to test, next two to val, rest to train

@@ -1,0 +1,146 @@
+"""pmf_tpu-side stage runner for the reference-scale parity pipeline.
+
+Mirrors scripts/_ref_side_wrapper.py on the pmf_tpu side: one stage per
+invocation, cwd-relative artifacts inside --workdir.
+
+    python scripts/_my_side_wrapper.py --workdir DIR --stage compare \
+        --processed_dir ../ref/data/processed --hyperparams ../ref/best_hyperparams.txt \
+        --dtype float64 --engine flat --tag cpu64
+
+The compare stage trains the same four production models through
+`pmf_tpu.cli.run_single.run_model` (the exact code path of
+`python -m pmf_tpu.cli.compare`) with the REFERENCE's tuned
+best_hyperparams.txt, so both frameworks train identical configs from
+identical seeds on identical files — the parity gate of VERDICT r2 #1.
+Writes ``my_compare_<tag>.json`` + ``my_factors_<tag>_<model>.npz``.
+
+--dtype float64 runs the f64 parity leg (pair with JAX_ENABLE_X64=1 and
+JAX_PLATFORMS=cpu in the environment); --dtype float32 is the TPU
+production leg.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def stage_tune(args):
+    from pmf_tpu.cli import tune
+
+    tune.main([
+        "--n_trials", str(args.n_trials),
+        "--processed_dir", args.processed_dir,
+        "--tune_seed", str(args.seed),
+        "--out", f"my_best_hyperparams_{args.tag}.txt",
+    ])
+
+
+def _configs_from(hyperparams_path, dtype, engine):
+    from pmf_tpu import config as cfg_io
+    from pmf_tpu.models import (HPFConfig, HPFMapConfig, GaussianMFConfig,
+                                PoissonMFConfig)
+
+    hp = cfg_io.load_best_hyperparams(hyperparams_path)
+    if not hp:
+        raise FileNotFoundError(f"no hyperparams at {hyperparams_path}")
+    out = {}
+    for run_name, key, cls in (
+        ("gaussian_bias", cfg_io.GAUSSIAN_KEY, GaussianMFConfig),
+        ("poisson", cfg_io.POISSON_KEY, PoissonMFConfig),
+        ("hpf_cavi", cfg_io.HPF_CAVI_KEY, HPFConfig),
+        ("hpf_map", cfg_io.HPF_MAP_KEY, HPFMapConfig),
+    ):
+        raw = hp.get(key)
+        if raw is None:
+            continue
+        cfg = cls(**cfg_io.filter_config_kwargs(cls, raw))
+        cfg.dtype = dtype
+        if engine and hasattr(cfg, "engine"):
+            cfg.engine = engine
+        out[run_name] = cfg
+    return out
+
+
+def stage_compare(args):
+    import numpy as np
+
+    from pmf_tpu.cli.common import load_all_splits
+    from pmf_tpu.cli.run_single import run_model
+
+    train_df, val_df, test_df = load_all_splits(args.processed_dir)
+    configs = _configs_from(args.hyperparams, args.dtype, args.engine)
+
+    results = []
+    for run_name, cfg in configs.items():
+        cfg.verbose = args.verbose
+        if run_name == "hpf_map":
+            # The reference's compare stage hardcodes DataLoader batch 4096
+            # regardless of the tuned config (compare_models.py:299); match
+            # that executed behavior for apples-to-apples SGD trajectories.
+            cfg.batch_size = 4096
+        print(f"[my:{args.tag}] {run_name}: {cfg}", flush=True)
+        res = run_model(run_name, train_df, val_df, test_df, config=cfg,
+                        verbose=args.verbose)
+        model = res.pop("_model")
+        res["n_iterations"] = len(getattr(model, "fit_history", []) or [])
+        theta, beta = model._point_estimates()
+        np.savez(f"my_factors_{args.tag}_{run_name}.npz",
+                 theta=np.asarray(theta), beta=np.asarray(beta))
+        results.append(res)
+        print(f"[my:{args.tag}] {run_name}: "
+              f"test_rmse={res['test_rmse']:.4f} "
+              f"({res['fit_seconds']:.1f}s, {res['n_iterations']} iters)",
+              flush=True)
+
+    with open(f"my_compare_{args.tag}.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+def stage_train(args):
+    from pmf_tpu.cli import train_full
+
+    train_full.main([
+        "--model", "all",
+        "--dataset_mode", args.dataset_mode,
+        "--hyperparams", args.hyperparams,
+        "--processed_dir", args.processed_dir,
+    ])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--stage", required=True, choices=["tune", "compare", "train"])
+    ap.add_argument("--processed_dir", required=True)
+    ap.add_argument("--hyperparams", default="best_hyperparams.txt")
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--engine", default="")
+    ap.add_argument("--tag", default="tpu32")
+    ap.add_argument("--n_trials", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--dataset_mode", default="train")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    # Resolve paths before chdir.
+    args.processed_dir = os.path.abspath(args.processed_dir)
+    args.hyperparams = os.path.abspath(args.hyperparams)
+    os.chdir(args.workdir)
+
+    if args.stage == "tune":
+        stage_tune(args)
+    elif args.stage == "compare":
+        stage_compare(args)
+    elif args.stage == "train":
+        stage_train(args)
+
+
+if __name__ == "__main__":
+    main()
