@@ -328,11 +328,21 @@ class HPF(FactorModel):
 
     def fit(self, train_df, val_df=None, resume_from=None,
             checkpoint_dir=None, checkpoint_every=10, mesh=None,
-            profile_dir=None):
+            profile_dir=None, state_sharding=None):
         """``mesh``: optional `jax.sharding.Mesh` — the full fit (sweeps,
         validation eval, early stopping) runs multi-chip with edges and eval
-        rows sharded on the "data" axis (see `FactorModel._mesh_place`)."""
+        rows sharded on the "data" axis (see `FactorModel._mesh_place`).
+        ``state_sharding="rows"``: row-shard the Gamma state across the mesh
+        and train with ring sweeps (`pmf_tpu.parallel.tp`)."""
         cfg = self.config
+        if state_sharding == "rows":
+            if mesh is None:
+                raise ValueError("state_sharding='rows' requires a mesh")
+            return self._fit_tp(train_df, val_df, resume_from,
+                                checkpoint_dir, checkpoint_every, mesh,
+                                profile_dir)
+        if state_sharding not in (None, "replicated"):
+            raise ValueError(f"unknown state_sharding {state_sharding!r}")
         data = self._build_train(train_df)
         self.n_users, self.n_items = data.n_users, data.n_items
         if cfg.verbose:
@@ -387,6 +397,65 @@ class HPF(FactorModel):
             edge_visits_per_iter=2 * data.nnz,  # theta + beta edge passes
         )
         self.state = loop.run(state, data, val)
+        self.fit_history = loop.history
+        return self
+
+    def _fit_tp(self, train_df, val_df, resume_from, checkpoint_dir,
+                checkpoint_every, mesh, profile_dir):
+        """Row-sharded (TP) HPF training — Gamma state distributed across
+        the mesh through every sweep/eval/checkpoint; equivalence gated at
+        1e-10 in f64 (`tests/test_tp_fit.py`)."""
+        from pmf_tpu.parallel.tp import (
+            HPF_AXIS_OF,
+            HPF_PAD_ONES,
+            build_tp_layout,
+            pad_state_rows,
+            place_tp,
+            slice_state_rows,
+            tp_sweep_hpf,
+        )
+
+        cfg = self.config
+        u, i, x = as_triples(train_df)
+        self.n_users = int(u.max()) + 1
+        self.n_items = int(i.max()) + 1
+        if cfg.verbose:
+            print(f"Inferred n_users={self.n_users}, n_items={self.n_items} "
+                  f"(TP over {mesh.devices.size} devices)", flush=True)
+        layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
+                                 mesh.devices.size, dtype=self._dtype)
+        state = self._initial_state(
+            pad_state_rows(init_state(self.n_users, self.n_items, cfg),
+                           HPF_AXIS_OF, layout.n_users_pad,
+                           layout.n_items_pad, ones_keys=HPF_PAD_ONES),
+            resume_from)
+        layout, state = place_tp(layout, state, mesh)
+        hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime,
+                 cfg.d_prime)
+        sweep_tp = jax.jit(
+            lambda s, lo: tp_sweep_hpf(s, lo, *hyper, mesh=mesh))
+
+        val = None
+        if val_df is not None:
+            from pmf_tpu.parallel import shard_eval_set
+
+            val = shard_eval_set(self._build_eval(val_df), mesh)
+        loop = FitLoop(
+            lambda s, lo: sweep_tp(s, lo),
+            eval_metrics,
+            cfg.max_iter,
+            cfg.tol,
+            poisson_stop_rule,
+            verbose=cfg.verbose,
+            name="HPF[tp]",
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            profile_dir=profile_dir,
+            edge_visits_per_iter=2 * layout.nnz,
+        )
+        state = loop.run(state, layout, val)
+        self.state = slice_state_rows(state, HPF_AXIS_OF,
+                                      self.n_users, self.n_items)
         self.fit_history = loop.history
         return self
 

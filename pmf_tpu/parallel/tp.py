@@ -154,16 +154,19 @@ def build_tp_layout(u, i, x, n_users: int, n_items: int, n_devices: int,
 
 
 def pad_state_rows(state: dict, axis_of: dict, n_users_pad: int,
-                   n_items_pad: int) -> dict:
-    """Zero-pad each state array's leading (row) dimension to the mesh-
-    aligned size.  ``axis_of[key]`` is "u" or "i"."""
+                   n_items_pad: int, ones_keys=()) -> dict:
+    """Pad each state array's leading (row) dimension to the mesh-aligned
+    size.  ``axis_of[key]`` is "u" or "i".  Keys in ``ones_keys`` pad with
+    1.0 (rate denominators — zero padding would make the padded rows'
+    expectations 0/0)."""
     out = {}
     for k, v in state.items():
         target = n_users_pad if axis_of[k] == "u" else n_items_pad
         pad = target - v.shape[0]
         if pad:
+            fill = jnp.ones if k in ones_keys else jnp.zeros
             v = jnp.concatenate(
-                [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+                [v, fill((pad,) + v.shape[1:], v.dtype)], axis=0)
         out[k] = v
     return out
 
@@ -367,3 +370,87 @@ def tp_sweep_gaussian(
 
 GAUSSIAN_AXIS_OF = {"m_theta": "u", "V_theta": "u", "b_user": "u",
                     "m_beta": "i", "V_beta": "i", "b_item": "i"}
+
+HPF_AXIS_OF = {"a_theta": "u", "b_theta": "u", "b_xi": "u",
+               "a_beta": "i", "b_beta": "i", "b_eta": "i"}
+HPF_PAD_ONES = ("b_theta", "b_beta", "b_xi", "b_eta")
+
+
+def tp_sweep_hpf(state: dict, layout: TPLayout, a, a_prime, b_prime,
+                 c, c_prime, d_prime, *, mesh):
+    """One full HPF CAVI iteration with row-sharded Gamma state — the
+    reference's exact theta -> xi -> beta -> eta block order with
+    expectation refreshes between blocks (`hpf_cavi.py:121-193`) as two
+    ring passes (the xi/eta blocks are row-local)."""
+    from pmf_tpu.models.hpf import RATE_FLOOR
+
+    D = layout.n_devices
+    row = P(DATA_AXIS)
+    rep = P()
+    state_specs = {k: row for k in state}
+    scal = (rep,) * 6
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, (row,) * 6, row, row) + scal,
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    def _sweep(st, buckets, counts_u, counts_i, av, apv, bpv, cv, cpv, dpv):
+        ul_u, il_u, x_u, il_i, ul_i, x_i = (b[0] for b in buckets)
+        users_per, items_per = counts_u.shape[0], counts_i.shape[0]
+        dt = st["a_theta"].dtype
+        K = st["a_theta"].shape[1]
+        a_xi = apv + K * av
+        a_eta = cpv + K * cv
+
+        E_theta = st["a_theta"] / st["b_theta"]
+        E_beta = st["a_beta"] / st["b_beta"]
+        E_xi = a_xi / st["b_xi"]
+        E_eta = a_eta / st["b_eta"]
+        floor = jnp.asarray(RATE_FLOOR, dt)
+
+        def factor_block(E_self, E_other, E_rate_prior, self_loc, other_loc,
+                         xs, counts, shape0, n_self):
+            E_self_pad = _pad_row(E_self)
+
+            def body(tabs, xs_s, accs):
+                (E_vis,) = tabs
+                sl, ol, xv = xs_s
+                s_alloc, s_other = accs
+                self_rows = E_self_pad[sl]
+                other_rows = E_vis[ol]
+                rate = jnp.maximum(jnp.sum(self_rows * other_rows, -1), floor)
+                alloc = (xv / rate)[:, None] * self_rows * other_rows
+                return (s_alloc + _segsum(alloc, sl, n_self + 1),
+                        s_other + _segsum(other_rows, sl, n_self + 1))
+
+            z = jnp.zeros((n_self + 1, K), dt)
+            s_alloc, s_other = _ring((E_other,), (self_loc, other_loc, xs),
+                                     (z, z), body, D)
+            s_alloc, s_other = s_alloc[:n_self], s_other[:n_self]
+            has = (counts > 0)[:, None]
+            a_out = jnp.where(has, shape0 + s_alloc, jnp.asarray(shape0, dt))
+            b_out = jnp.where(has, E_rate_prior[:, None] + s_other,
+                              E_rate_prior[:, None])
+            return a_out, b_out
+
+        a_t, b_t = factor_block(E_theta, E_beta, E_xi, ul_u, il_u, x_u,
+                                counts_u, av, users_per)
+        E_theta = a_t / b_t
+        b_xi = bpv + jnp.sum(E_theta, axis=1)
+        a_b, b_b = factor_block(E_beta, E_theta, E_eta, il_i, ul_i, x_i,
+                                counts_i, cv, items_per)
+        E_beta = a_b / b_b
+        b_eta = dpv + jnp.sum(E_beta, axis=1)
+        return {"a_theta": a_t, "b_theta": b_t, "a_beta": a_b,
+                "b_beta": b_b, "b_xi": b_xi, "b_eta": b_eta}
+
+    buckets = (layout.u_loc_by_u, layout.i_loc_by_u, layout.x_by_u,
+               layout.i_loc_by_i, layout.u_loc_by_i, layout.x_by_i)
+    dt = state["a_theta"].dtype
+    return _sweep(state, buckets, layout.user_counts, layout.item_counts,
+                  jnp.asarray(a, dt), jnp.asarray(a_prime, dt),
+                  jnp.asarray(b_prime, dt), jnp.asarray(c, dt),
+                  jnp.asarray(c_prime, dt), jnp.asarray(d_prime, dt))

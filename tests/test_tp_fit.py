@@ -98,6 +98,23 @@ def test_tp_state_is_row_sharded(small_splits, mesh8):
         assert shard_rows == {out[k].shape[0] // 8}, (k, shard_rows)
 
 
+def test_hpf_tp_full_fit(small_splits, mesh8):
+    from pmf_tpu.models.hpf import HPF, HPFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1), (vu, vi, vx + 1)
+    cfg = dict(n_factors=5, max_iter=8, tol=1e-4, verbose=False,
+               dtype="float64", engine="flat")
+
+    single = HPF(HPFConfig(**cfg)).fit(train, val)
+    tp = HPF(HPFConfig(**cfg)).fit(train, val, mesh=mesh8,
+                                   state_sharding="rows")
+    assert len(single.fit_history) == len(tp.fit_history)
+    for rs, rm in zip(single.fit_history, tp.fit_history):
+        assert abs(rs["val_rmse"] - rm["val_rmse"]) < 1e-9
+    _assert_states_match(single.state, tp.state)
+
+
 def test_tp_checkpoint_resume(small_splits, mesh8, tmp_path):
     """Checkpoints written from sharded state resume into the TP fit."""
     from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
