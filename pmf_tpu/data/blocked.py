@@ -354,7 +354,8 @@ class BlockedCOO:
 
 
 def auto_tiles(n_users: int, n_items: int, nnz: int, group_cap: int = 16,
-               block: int = 512, tail: bool = False) -> dict:
+               block: int = 512, tail: bool = False,
+               step_edges: int = 2048) -> dict:
     """Pick blocked-layout tile parameters from expected tile occupancy.
 
     The only data-dependent hazard of the fixed layout is CHUNK padding:
@@ -376,12 +377,12 @@ def auto_tiles(n_users: int, n_items: int, nnz: int, group_cap: int = 16,
     e = nnz * block * block / max(n_users * n_items, 1)
     chunk = 128
     while chunk > 16:
-        group_keeps_up = 2048 // (chunk // 2) <= group_cap
+        group_keeps_up = step_edges // (chunk // 2) <= group_cap
         if e < chunk or (tail and e < 2 * chunk and group_keeps_up):
             chunk //= 2
         else:
             break
-    group = min(group_cap, max(1, 2048 // chunk))
+    group = min(group_cap, max(1, step_edges // chunk))
     return dict(block_users=block, block_items=block, chunk_size=chunk,
                 group=group)
 
@@ -534,6 +535,8 @@ def build_blocked(
     head_r0: int = 512,
     tail_group_cap: int | None = None,
     head_row_mult: int = 1,
+    tail_chunk_size: int | None = None,
+    tail_group: int | None = None,
 ) -> BlockedCOO:
     """``head``: None = pure edge layout; "auto" = size a dense staircase
     from the data (requires ``reorder``); (hu, hi) = explicit head
@@ -626,6 +629,11 @@ def build_blocked(
         t = auto_tiles(n_users, n_items, len(tu), group_cap=tail_group_cap,
                        block=block_users, tail=True)
         chunk_size, group = t["chunk_size"], t["group"]
+    # Explicit tail-tile overrides (scan tooling / tuned configs).
+    if tail_chunk_size is not None:
+        chunk_size = tail_chunk_size
+    if tail_group is not None:
+        group = tail_group
     # Tail passes are built on already-relabeled ids (reorder=False keeps
     # them); the GLOBAL permutations attach afterwards so kernel wrappers
     # permute tables / un-permute stats exactly as in the headless layout.

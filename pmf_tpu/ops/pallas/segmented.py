@@ -66,11 +66,15 @@ def run_segmented(kernel, p: BlockedPass, self_table, other_table, out_width,
             (p.bs_self, K_out), lambda c, sb, ob, G=G: (sb[G * c] - sb[0], 0)
         ),
     )
+    from pmf_tpu.ops.pallas.cavi_edge import VMEM_LIMIT_BYTES
+
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((out_rows, K_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )
 
     C = p.chunk_size
