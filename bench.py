@@ -119,7 +119,8 @@ def bench_hpf(u, i, x, n_users, n_items, nnz, K, iters, rtt):
     # default (fit's head="auto").
     hybrid = build_blocked(u, i, x, n_users=n_users, n_items=n_items,
                            block_users=512, block_items=512, reorder=True,
-                           head="auto", tail_group_cap=32)
+                           head="auto", head_bytes=5 << 29,  # 2.5 GiB optimum
+                           tail_group_cap=32)
 
     results, failures, iter_secs = {}, {}, {}
     for engine, prec in (

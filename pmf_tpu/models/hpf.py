@@ -358,9 +358,12 @@ class HPF(FactorModel):
             from pmf_tpu.data.blocked import auto_tiles, build_blocked
 
             u, i, x = as_triples(train_df)
+            # head_bytes: the round-3 budget scan's optimum (2.5 GiB: 418M
+            # vs 407M at 2 GiB and declining above — head processing cost
+            # overtakes tail savings; docs/PERFORMANCE.md round-3 section).
             blocked = build_blocked(u, i, x, n_users=self.n_users, n_items=self.n_items,
                                     dtype=self._dtype, reorder=True, head="auto",
-                                    tail_group_cap=32,
+                                    head_bytes=5 << 29, tail_group_cap=32,
                                     head_row_mult=mesh.devices.size if mesh else 1,
                                     **auto_tiles(self.n_users, self.n_items, data.nnz))
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",

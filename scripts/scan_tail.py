@@ -43,16 +43,17 @@ def main():
     configs = os.environ.get(
         "SCAN_CONFIGS", "64x32,64x64,128x32,128x64,64x128,256x32")
     for c in configs.split(","):
-        C, G = (int(v) for v in c.split("x"))
+        parts = [int(v) for v in c.split("x")]
+        B, (C, G) = (parts[0], parts[1:]) if len(parts) == 3 else (512, parts)
         t0 = time.perf_counter()
         try:
             blocked = build_blocked(
                 u, i, x, n_users=n_users, n_items=n_items,
-                block_users=512, block_items=512, reorder=True,
+                block_users=B, block_items=B, reorder=True,
                 head="auto", head_bytes=2 << 30,
                 tail_chunk_size=C, tail_group=G)
         except Exception as e:
-            print(f"C={C} G={G}: BUILD FAILED {str(e)[:120]}", flush=True)
+            print(f"B={B} C={C} G={G}: BUILD FAILED {str(e)[:120]}", flush=True)
             continue
         tb = time.perf_counter() - t0
         tail_edges = blocked.by_user.n_chunks * C
@@ -69,11 +70,11 @@ def main():
                 s = step(s)
             float(jnp.sum(s["a_theta"]))
             dt = (time.perf_counter() - t0 - rtt) / 5
-            print(f"C={C} G={G} (step={C*G}): build {tb:.0f}s "
+            print(f"B={B} C={C} G={G} (step={C*G}): build {tb:.0f}s "
                   f"tail_slots {tail_edges/1e6:.1f}M sweep {dt:.4f}s -> "
                   f"{2*nnz/dt/1e6:.0f}M updates/s", flush=True)
         except Exception as e:
-            print(f"C={C} G={G}: FAILED {str(e)[:160]}", flush=True)
+            print(f"B={B} C={C} G={G}: FAILED {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":
