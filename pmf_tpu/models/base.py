@@ -186,7 +186,13 @@ def resolve_engine(engine: str, n_users=None, n_items=None, nnz=None) -> str:
     700k edges over 25k x 178k rows padded 3-12x at fixed 128-edge chunks);
     `pmf_tpu.data.blocked.auto_tiles` now shrinks the chunk size for those
     shapes and the blocked engine WINS there (measured 1.7x HPF / 3.9x
-    Gaussian over flat at the reference's own shape — docs/PERFORMANCE.md)."""
+    Gaussian over flat at the reference's own shape — docs/PERFORMANCE.md).
+
+    The 300k cutover is MEASURED (round 3, v5e, K=20, warm cache): the
+    hybrid wins per-iteration at every scale (100k edges: 1.1 vs 4.1 ms,
+    3.8x; 300k: 4.8 vs 13.6 ms; 1M: 20.7 vs 46.0 ms), but its ~0.5 s
+    layout build only amortizes within a <=100-iteration fit above
+    roughly 300k edges — below that, flat's zero setup wins wall-clock."""
     if engine != "auto":
         return engine
     import jax
