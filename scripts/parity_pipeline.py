@@ -53,8 +53,9 @@ SEED = 7
 
 
 def _run(cmd, cwd=None, env_extra=None, log=None):
+    # Keep PYTHONPATH: the TPU platform plugin loads from it
+    # (/root/.axon_site); wrappers add their own sys.path entries.
     env = dict(os.environ)
-    env.pop("PYTHONPATH", None)
     if env_extra:
         env.update(env_extra)
     print("+", " ".join(cmd), ("> " + log if log else ""), flush=True)
