@@ -57,14 +57,14 @@ def _select_union(train_df, val_df, test_df, mode: str) -> pd.DataFrame:
     raise ValueError(f"Invalid dataset_mode: {mode}")
 
 
-def _export(model_dir_name, user_emb, item_emb, config, extra_cfg, test_df, predict_fn, data_dir="data"):
+def _export(model_dir_name, user_emb, item_emb, config, extra_cfg, test_df, predict_fn, data_dir="data", map_data_dir=None):
     out_dir = os.path.join(data_dir, "embeddings", model_dir_name)
     os.makedirs(out_dir, exist_ok=True)
     pd.DataFrame(np.asarray(user_emb)).to_csv(
         os.path.join(out_dir, "user_embeddings.csv"), index=False
     )
     item_df = pd.DataFrame(np.asarray(item_emb))
-    id_map = get_recipe_id_map(data_dir)
+    id_map = get_recipe_id_map(map_data_dir or data_dir)
     if id_map is not None and len(id_map) >= len(item_df):
         item_df.insert(0, "recipe_id", id_map[: len(item_df)])
     item_df.to_csv(os.path.join(out_dir, "item_embeddings.csv"), index=False)
@@ -89,7 +89,7 @@ def _export(model_dir_name, user_emb, item_emb, config, extra_cfg, test_df, pred
 
 
 def train_one(model_name, train_df, val_df, test_df, dataset_mode, hyperparams,
-              data_dir="data", verbose=True, mesh=None):
+              data_dir="data", verbose=True, mesh=None, map_data_dir=None):
     dir_name, default_key, artifact_key, config_cls = SPECS[model_name]
     raw = hyperparams.get(artifact_key)
     config = (
@@ -134,7 +134,8 @@ def train_one(model_name, train_df, val_df, test_df, dataset_mode, hyperparams,
         extra = {"rating_shift": 1}
 
     print(f"Training finished in {t.seconds:.1f}s")
-    _export(dir_name, user_emb, item_emb, config, extra, test_df, predict_fn, data_dir)
+    _export(dir_name, user_emb, item_emb, config, extra, test_df, predict_fn,
+            data_dir, map_data_dir)
     return model
 
 
@@ -145,6 +146,10 @@ def main(argv=None):
                         choices=["train", "train+val", "full"])
     parser.add_argument("--hyperparams", default="best_hyperparams.txt")
     parser.add_argument("--data_dir", default="data")
+    parser.add_argument("--map_data_dir", default=None,
+                        help="directory whose processed/dict_i.csv provides the "
+                        "recipe-id map when exports go elsewhere (default: "
+                        "--data_dir)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="train over an N-device data mesh (0 = single device)")
@@ -163,7 +168,7 @@ def main(argv=None):
         try:
             train_one(name, train_df, val_df, test_df, args.dataset_mode,
                       hyperparams, data_dir=args.data_dir, verbose=args.verbose,
-                      mesh=mesh)
+                      mesh=mesh, map_data_dir=args.map_data_dir)
         except Exception as e:
             print(f"{name} FAILED: {e}", flush=True)
 

@@ -110,6 +110,7 @@ def stage_train(args):
         "--dataset_mode", args.dataset_mode,
         "--hyperparams", args.hyperparams,
         "--processed_dir", args.processed_dir,
+        "--map_data_dir", os.path.dirname(args.processed_dir),
     ])
 
 
@@ -120,6 +121,10 @@ def main():
     ap.add_argument("--processed_dir", required=True)
     ap.add_argument("--hyperparams", default="best_hyperparams.txt")
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--platform", default="",
+                    help="force a JAX platform (e.g. 'cpu'). Needed because "
+                    "the axon sitecustomize on PYTHONPATH overrides the "
+                    "JAX_PLATFORMS env var; jax.config wins over both.")
     ap.add_argument("--engine", default="")
     ap.add_argument("--tag", default="tpu32")
     ap.add_argument("--n_trials", type=int, default=2)
@@ -127,6 +132,13 @@ def main():
     ap.add_argument("--dataset_mode", default="train")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
 
     os.makedirs(args.workdir, exist_ok=True)
     # Resolve paths before chdir.

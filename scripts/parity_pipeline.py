@@ -165,7 +165,8 @@ def main():
         _run([sys.executable, my_wrap, "--workdir", d, "--stage", "compare",
               "--processed_dir", processed,
               "--hyperparams", os.path.join(workdir, "best_hyperparams.txt"),
-              "--dtype", "float64", "--engine", "flat", "--tag", "cpu64"],
+              "--dtype", "float64", "--engine", "flat", "--tag", "cpu64",
+              "--platform", "cpu"],
              env_extra={"JAX_PLATFORMS": "cpu", "JAX_ENABLE_X64": "1"},
              log=os.path.join(workdir, "log_my_cpu64.txt"))
 
@@ -180,7 +181,8 @@ def main():
         _run([sys.executable, my_wrap, "--workdir", d, "--stage", "compare",
               "--processed_dir", processed,
               "--hyperparams", os.path.join(workdir, "best_hyperparams.txt"),
-              "--dtype", "float32", "--tag", "tpu32"],
+              "--dtype", "float32", "--tag", "tpu32",
+              "--platform", tpu_platform],
              env_extra={"JAX_PLATFORMS": tpu_platform},
              log=os.path.join(workdir, "log_my_tpu32.txt"))
 
@@ -188,7 +190,8 @@ def main():
         d = os.path.join(workdir, "my_tpu32")
         _run([sys.executable, my_wrap, "--workdir", d, "--stage", "train",
               "--processed_dir", processed,
-              "--hyperparams", os.path.join(workdir, "best_hyperparams.txt")],
+              "--hyperparams", os.path.join(workdir, "best_hyperparams.txt"),
+              "--platform", tpu_platform],
              env_extra={"JAX_PLATFORMS": tpu_platform},
              log=os.path.join(workdir, "log_my_train.txt"))
 
