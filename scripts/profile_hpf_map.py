@@ -54,7 +54,6 @@ def main():
     i = rng.integers(0, args.n_items, n_pad).astype(np.int32)
     x = rng.integers(1, 6, n_pad).astype(np.float32)
     u_all, i_all, x_all = map(jnp.asarray, (u, i, x))
-    mask_all = jnp.ones((n_batches, B), bool)
 
     cfg = HPFMapConfig(n_factors=args.K, batch_size=B)
     params = init_params(args.n_users, args.n_items, cfg)
@@ -66,43 +65,43 @@ def main():
     key = jax.random.key(0)
 
     @jax.jit
-    def shuffle(key):
+    def shuffle(key, u_all, i_all, x_all):
         perm = jax.random.permutation(key, n_pad)
         return (u_all[perm].reshape(n_batches, B),
                 i_all[perm].reshape(n_batches, B),
                 x_all[perm].reshape(n_batches, B))
 
-    ub, ib, xb = shuffle(key)
+    ub, ib, xb = shuffle(key, u_all, i_all, x_all)
     sync(ub)
-    t_shuffle = timeit(lambda: sync(shuffle(key)))
+    t_shuffle = timeit(lambda: sync(shuffle(key, u_all, i_all, x_all)))
     print(f"shuffle (perm + 3 gathers): {t_shuffle:.3f} s")
 
     @jax.jit
-    def grads_only(p):
+    def grads_only(p, ub, ib, xb):
         def step(c, batch):
             bu, bi, bx, bm = batch
             _, g = jax.value_and_grad(batch_loss)(
                 p, bu, bi, bx, bm, user_scale, item_scale, scalars)
             return c + g["theta_u"][0, 0], None
 
-        c, _ = jax.lax.scan(step, jnp.float32(0), (ub, ib, xb, mask_all))
+        c, _ = jax.lax.scan(step, jnp.float32(0), (ub, ib, xb, jnp.ones((n_batches, B), bool)))
         return c
 
-    t_grads = timeit(lambda: sync(grads_only(params)), n=2)
+    t_grads = timeit(lambda: sync(grads_only(params, ub, ib, xb)), n=2)
     print(f"grads only ({n_batches} batches): {t_grads:.3f} s "
           f"({t_grads / n_batches * 1e3:.2f} ms/step)")
 
     @jax.jit
-    def loss_only(p):
+    def loss_only(p, ub, ib, xb):
         def step(c, batch):
             bu, bi, bx, bm = batch
             l = batch_loss(p, bu, bi, bx, bm, user_scale, item_scale, scalars)
             return c + l, None
 
-        c, _ = jax.lax.scan(step, jnp.float32(0), (ub, ib, xb, mask_all))
+        c, _ = jax.lax.scan(step, jnp.float32(0), (ub, ib, xb, jnp.ones((n_batches, B), bool)))
         return c
 
-    t_loss = timeit(lambda: sync(loss_only(params)), n=2)
+    t_loss = timeit(lambda: sync(loss_only(params, ub, ib, xb)), n=2)
     print(f"forward only: {t_loss:.3f} s ({t_loss / n_batches * 1e3:.2f} ms/step)")
 
     zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -122,7 +121,7 @@ def main():
     print(f"adam only: {t_adam:.3f} s ({t_adam / n_batches * 1e3:.2f} ms/step)")
 
     @jax.jit
-    def full(p, s):
+    def full(p, s, ub, ib, xb):
         def step(carry, batch):
             p, s = carry
             bu, bi, bx, bm = batch
@@ -132,10 +131,10 @@ def main():
             p = optax.apply_updates(p, updates)
             return (p, s), None
 
-        (p, s), _ = jax.lax.scan(step, (p, s), (ub, ib, xb, mask_all))
+        (p, s), _ = jax.lax.scan(step, (p, s), (ub, ib, xb, jnp.ones((n_batches, B), bool)))
         return p, s
 
-    t_full = timeit(lambda: sync(full(params, opt_state)), n=2)
+    t_full = timeit(lambda: sync(full(params, opt_state, ub, ib, xb)), n=2)
     print(f"full step: {t_full:.3f} s ({t_full / n_batches * 1e3:.2f} ms/step) "
           f"-> {nnz / t_full / 1e6:.1f}M edge-visits/s (no shuffle)")
     print(f"epoch model: shuffle {t_shuffle:.2f} + steps {t_full:.2f} "
