@@ -17,6 +17,18 @@ TPU formulation: one jitted `lax.scan` over the epoch's shuffled batches
 covers every rating exactly once and shapes stay static.  Batch sizes
 should be much larger than the reference's 1024-4096 — the gathers and
 VPU elementwise work saturate only with wide batches.
+
+Fused parameter layout: the step is random-row gather/scatter LATENCY
+bound (measured v5e: a (162k,) scalar gather costs MORE than a (162k, 20)
+row gather — 1.13 vs 0.75 ms per 65k batch; scatter-adds 1.0-1.35 ms
+either way), so the scalar entity parameters ride as an extra COLUMN of
+the factor tables: params = {"user": (n_users, K+1) [theta | xi],
+"item": (n_items, K+1) [beta | eta]}.  One gather and one scatter-add
+per side instead of two each.  Adam is elementwise, so updates are
+bit-identical to the per-leaf layout; init draws the same
+default_rng(seed) values in the same order as the unfused layout.
+(Checkpoints from the pre-fusion layout have different leaf shapes and
+are rejected by the loader's shape check.)
 """
 
 from __future__ import annotations
@@ -63,25 +75,29 @@ class HPFMapConfig:
 def init_params(n_users: int, n_items: int, cfg: HPFMapConfig) -> dict:
     """Gaussian(0, 0.1) init of the unconstrained parameters.  The reference
     uses torch.randn without an explicit seed (`hpf_pytorch.py:39-48`); here
-    init is deterministic via numpy default_rng(random_state)."""
+    init is deterministic via numpy default_rng(random_state).  Draw order
+    (theta, beta, xi, eta) matches the historical per-leaf layout; the
+    scalar parameters are stored as the last column of each table."""
     rng = np.random.default_rng(cfg.random_state)
     K = cfg.n_factors
     dt = np.dtype(cfg.dtype)
+    theta = (0.1 * rng.standard_normal((n_users, K))).astype(dt)
+    beta = (0.1 * rng.standard_normal((n_items, K))).astype(dt)
+    xi = (0.1 * rng.standard_normal(n_users)).astype(dt)
+    eta = (0.1 * rng.standard_normal(n_items)).astype(dt)
     return {
-        "theta_u": jnp.asarray((0.1 * rng.standard_normal((n_users, K))).astype(dt)),
-        "beta_u": jnp.asarray((0.1 * rng.standard_normal((n_items, K))).astype(dt)),
-        "xi_u": jnp.asarray((0.1 * rng.standard_normal(n_users)).astype(dt)),
-        "eta_u": jnp.asarray((0.1 * rng.standard_normal(n_items)).astype(dt)),
+        "user": jnp.asarray(np.concatenate([theta, xi[:, None]], axis=1)),
+        "item": jnp.asarray(np.concatenate([beta, eta[:, None]], axis=1)),
     }
 
 
 def batch_loss(params, u, i, x, mask, user_scale, item_scale, cfg_scalars):
     """Masked MAP loss of one batch; ``mask`` zeroes padded rows."""
     a, a_prime, b_prime, c, c_prime, d_prime = cfg_scalars
-    theta = jax.nn.softplus(gather_rows(params["theta_u"], u))
-    beta = jax.nn.softplus(gather_rows(params["beta_u"], i))
-    xi = jax.nn.softplus(gather_rows(params["xi_u"], u))
-    eta = jax.nn.softplus(gather_rows(params["eta_u"], i))
+    urows = jax.nn.softplus(gather_rows(params["user"], u))
+    irows = jax.nn.softplus(gather_rows(params["item"], i))
+    theta, xi = urows[:, :-1], urows[:, -1]
+    beta, eta = irows[:, :-1], irows[:, -1]
     m = mask.astype(theta.dtype)
 
     lam = jnp.maximum(edge_dot(theta, beta), LAMBDA_FLOOR)
@@ -111,32 +127,39 @@ def batch_loss(params, u, i, x, mask, user_scale, item_scale, cfg_scalars):
     return nll + prior
 
 
-@partial(jax.jit, static_argnames=("optimizer",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("optimizer", "batch_size"),
+         donate_argnums=(0, 1))
 def train_epoch(
     params,
     opt_state,
     key,
-    u_all,
-    i_all,
+    ui_all,
     x_all,
-    mask_all,
     user_scale,
     item_scale,
     cfg_scalars,
     optimizer,
+    batch_size,
 ):
-    """One epoch: shuffle, batch, scan Adam steps.  Arrays arrive already
-    padded to n_batches x batch_size."""
-    n = u_all.shape[0]
+    """One epoch: shuffle, batch, scan Adam steps.
+
+    ``ui_all``: (n_pad, 2) int32 with columns [u-or-minus-one, i]; padding
+    rows carry u == -1 (the batch mask).  Shuffle gathers are latency-
+    bound per ROW, so packing (u, i, mask) into one 2-wide int32 row
+    gather replaces three separate 25M-element permutation gathers (u, i,
+    bool mask) with one; only x keeps its own gather (dtype-exact)."""
+    n = ui_all.shape[0]
+    n_batches = n // batch_size
     perm = jax.random.permutation(key, n)
-    ub = u_all[perm].reshape(mask_all.shape)
-    ib = i_all[perm].reshape(mask_all.shape)
-    xb = x_all[perm].reshape(mask_all.shape)
-    mb = mask_all.reshape(-1)[perm].reshape(mask_all.shape)
+    uib = ui_all[perm].reshape(n_batches, batch_size, 2)
+    xb = x_all[perm].reshape(n_batches, batch_size)
 
     def step(carry, batch):
         p, s = carry
-        bu, bi, bx, bm = batch
+        rows, bx = batch
+        bm = rows[:, 0] >= 0
+        bu = jnp.maximum(rows[:, 0], 0)
+        bi = rows[:, 1]
         loss, grads = jax.value_and_grad(batch_loss)(
             p, bu, bi, bx, bm, user_scale, item_scale, cfg_scalars
         )
@@ -144,14 +167,14 @@ def train_epoch(
         p = optax.apply_updates(p, updates)
         return (p, s), loss
 
-    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), (ub, ib, xb, mb))
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), (uib, xb))
     return params, opt_state, jnp.sum(losses)
 
 
 @jax.jit
 def eval_metrics(params: dict, ev: EvalSet):
-    theta = jax.nn.softplus(params["theta_u"])
-    beta = jax.nn.softplus(params["beta_u"])
+    theta = jax.nn.softplus(params["user"][:, :-1])
+    beta = jax.nn.softplus(params["item"][:, :-1])
     pred = edge_dot(gather_rows(theta, ev.u), gather_rows(beta, ev.i))
     pred = jnp.where(ev.valid, pred, 0.0)
     r = masked_rmse(ev.x, pred, ev.real)
@@ -226,15 +249,16 @@ class HPFMap(FactorModel):
         n_batches = max((nnz + B - 1) // B, 1)
         n_pad = n_batches * B
 
-        def pad(arr, sentinel, dtype):
-            out = np.full((n_pad,), sentinel, dtype=dtype)
-            out[:nnz] = arr
-            return jnp.asarray(out)
-
-        u_all = pad(u, 0, np.int32)
-        i_all = pad(i, 0, np.int32)
-        x_all = pad(x, 0.0, dt)
-        mask_all = pad(np.ones(nnz, dtype=bool), False, bool).reshape(n_batches, B)
+        # Packed (n_pad, 2) int32 [u | i]; padding rows carry u == -1 so the
+        # mask needs no separate array/gather (see train_epoch).
+        ui = np.full((n_pad, 2), -1, dtype=np.int32)
+        ui[:nnz, 0] = u
+        ui[:nnz, 1] = i
+        ui[nnz:, 1] = 0
+        ui_all = jnp.asarray(ui)
+        x_pad = np.zeros((n_pad,), dtype=dt)
+        x_pad[:nnz] = x
+        x_all = jnp.asarray(x_pad)
 
         # 1/count scaling with the reference's 1e-6 guard (`hpf_pytorch.py:33-35`).
         user_counts = np.bincount(u, minlength=self.n_users)
@@ -273,11 +297,8 @@ class HPFMap(FactorModel):
                     f"batch_size={B} not divisible by {n_dev} mesh devices"
                 )
             edge = NamedSharding(mesh, P(DATA_AXIS))
-            batch = NamedSharding(mesh, P(None, DATA_AXIS))
-            u_all = jax.device_put(u_all, edge)
-            i_all = jax.device_put(i_all, edge)
+            ui_all = jax.device_put(ui_all, NamedSharding(mesh, P(DATA_AXIS, None)))
             x_all = jax.device_put(x_all, edge)
-            mask_all = jax.device_put(mask_all, batch)
             params = replicate(params, mesh)
             opt_state = replicate(opt_state, mesh)
             user_scale = jax.device_put(user_scale, NamedSharding(mesh, P()))
@@ -295,23 +316,23 @@ class HPFMap(FactorModel):
         )
         with prof:
             self._run_epochs(
-                cfg, start_epoch, key, params, opt_state, u_all, i_all, x_all,
-                mask_all, user_scale, item_scale, cfg_scalars, optimizer, val,
+                cfg, start_epoch, key, params, opt_state, ui_all, x_all,
+                nnz, user_scale, item_scale, cfg_scalars, optimizer, val,
                 checkpoint_dir, checkpoint_every, _time,
             )
         return self
 
-    def _run_epochs(self, cfg, start_epoch, key, params, opt_state, u_all,
-                    i_all, x_all, mask_all, user_scale, item_scale,
+    def _run_epochs(self, cfg, start_epoch, key, params, opt_state, ui_all,
+                    x_all, nnz, user_scale, item_scale,
                     cfg_scalars, optimizer, val, checkpoint_dir,
                     checkpoint_every, _time):
-        nnz = int(mask_all.sum())
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = _time.perf_counter()
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_epoch(
-                params, opt_state, sub, u_all, i_all, x_all, mask_all,
+                params, opt_state, sub, ui_all, x_all,
                 user_scale, item_scale, cfg_scalars, optimizer,
+                cfg.batch_size,
             )
             record = {"epoch": epoch, "train_loss": float(loss)}
             record["epoch_seconds"] = _time.perf_counter() - t0
@@ -342,7 +363,10 @@ class HPFMap(FactorModel):
         return self
 
     def _point_estimates(self):
-        return jax.nn.softplus(self.state["theta_u"]), jax.nn.softplus(self.state["beta_u"])
+        return (
+            jax.nn.softplus(self.state["user"][:, :-1]),
+            jax.nn.softplus(self.state["item"][:, :-1]),
+        )
 
     def predict(self, user_ids, item_ids) -> np.ndarray:
         return super().predict(user_ids, item_ids)

@@ -82,7 +82,7 @@ def main():
             bu, bi, bx, bm = batch
             _, g = jax.value_and_grad(batch_loss)(
                 p, bu, bi, bx, bm, user_scale, item_scale, scalars)
-            return c + g["theta_u"][0, 0], None
+            return c + g["user"][0, 0], None
 
         c, _ = jax.lax.scan(step, jnp.float32(0), (ub, ib, xb, jnp.ones((n_batches, B), bool)))
         return c

@@ -49,10 +49,10 @@ def test_prior_scaling_invariant():
     # Direct computation: NLL over edges + per-entity priors applied once.
     import jax
 
-    theta = np.asarray(jax.nn.softplus(params["theta_u"]))
-    beta = np.asarray(jax.nn.softplus(params["beta_u"]))
-    xi = np.asarray(jax.nn.softplus(params["xi_u"]))
-    eta = np.asarray(jax.nn.softplus(params["eta_u"]))
+    theta = np.asarray(jax.nn.softplus(params["user"][:, :-1]))
+    beta = np.asarray(jax.nn.softplus(params["item"][:, :-1]))
+    xi = np.asarray(jax.nn.softplus(params["user"][:, -1]))
+    eta = np.asarray(jax.nn.softplus(params["item"][:, -1]))
     lam = np.maximum(np.sum(theta[u] * beta[i], axis=1), 1e-6)
     nll = np.sum(lam - x * np.log(lam))
     a, a_p, b_p, c, c_p, d_p = scalars
