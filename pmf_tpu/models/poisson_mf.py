@@ -323,10 +323,20 @@ class PoissonMF(FactorModel):
 
     def fit(self, train_df, val_df=None, resume_from=None,
             checkpoint_dir=None, checkpoint_every=10, mesh=None,
-            profile_dir=None):
+            profile_dir=None, state_sharding=None):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip training
-        (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`)."""
+        (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`).
+        ``state_sharding="rows"``: row-shard the Gamma state across the mesh
+        and train with ring sweeps (`pmf_tpu.parallel.tp`)."""
         cfg = self.config
+        if state_sharding == "rows":
+            if mesh is None:
+                raise ValueError("state_sharding='rows' requires a mesh")
+            return self._fit_tp(train_df, val_df, resume_from,
+                                checkpoint_dir, checkpoint_every, mesh,
+                                profile_dir)
+        if state_sharding not in (None, "replicated"):
+            raise ValueError(f"unknown state_sharding {state_sharding!r}")
         data = self._build_train(train_df)
         self.n_users, self.n_items = data.n_users, data.n_items
         if cfg.verbose:
@@ -397,6 +407,66 @@ class PoissonMF(FactorModel):
             edge_visits_per_iter=(4 if cfg.extended else 2) * data.nnz,
         )
         self.state = loop.run(state, data, val)
+        self.fit_history = loop.history
+        return self
+
+    def _fit_tp(self, train_df, val_df, resume_from, checkpoint_dir,
+                checkpoint_every, mesh, profile_dir):
+        """Row-sharded (TP) Poisson-MF training — Gamma state (and the
+        extended scalars) distributed across the mesh through every
+        sweep/eval/checkpoint (`pmf_tpu.parallel.tp.tp_sweep_poisson`)."""
+        from pmf_tpu.parallel.tp import (
+            POISSON_AXIS_OF,
+            POISSON_EXT_AXIS_OF,
+            POISSON_PAD_ONES,
+            build_tp_layout,
+            pad_state_rows,
+            place_tp,
+            slice_state_rows,
+            tp_sweep_poisson,
+        )
+
+        cfg = self.config
+        u, i, x = as_triples(train_df)
+        self.n_users = int(u.max()) + 1
+        self.n_items = int(i.max()) + 1
+        if cfg.verbose:
+            print(f"Inferred n_users={self.n_users}, n_items={self.n_items} "
+                  f"(TP over {mesh.devices.size} devices)", flush=True)
+        layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
+                                 mesh.devices.size, dtype=self._dtype)
+        axis_of = POISSON_EXT_AXIS_OF if cfg.extended else POISSON_AXIS_OF
+        state = self._initial_state(
+            pad_state_rows(init_state(self.n_users, self.n_items, cfg),
+                           axis_of, layout.n_users_pad,
+                           layout.n_items_pad, ones_keys=POISSON_PAD_ONES),
+            resume_from)
+        layout, state = place_tp(layout, state, mesh)
+        sweep_tp = jax.jit(
+            lambda s, lo: tp_sweep_poisson(s, lo, cfg.a0, cfg.b0,
+                                           extended=cfg.extended, mesh=mesh))
+
+        val = None
+        if val_df is not None:
+            from pmf_tpu.parallel import shard_eval_set
+
+            val = shard_eval_set(self._build_eval(val_df), mesh)
+        loop = FitLoop(
+            lambda s, lo: sweep_tp(s, lo),
+            lambda s, ev: eval_metrics(s, ev, cfg.extended),
+            cfg.max_iter,
+            cfg.tol,
+            poisson_stop_rule,
+            verbose=cfg.verbose,
+            name="PoissonMF" + ("-ext" if cfg.extended else "") + "[tp]",
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+            profile_dir=profile_dir,
+            edge_visits_per_iter=(4 if cfg.extended else 2) * layout.nnz,
+        )
+        state = loop.run(state, layout, val)
+        self.state = slice_state_rows(state, axis_of,
+                                      self.n_users, self.n_items)
         self.fit_history = loop.history
         return self
 

@@ -375,6 +375,142 @@ HPF_AXIS_OF = {"a_theta": "u", "b_theta": "u", "b_xi": "u",
                "a_beta": "i", "b_beta": "i", "b_eta": "i"}
 HPF_PAD_ONES = ("b_theta", "b_beta", "b_xi", "b_eta")
 
+POISSON_AXIS_OF = {"a_theta": "u", "b_theta": "u",
+                   "a_beta": "i", "b_beta": "i"}
+POISSON_EXT_AXIS_OF = {**POISSON_AXIS_OF, "a_phi": "u", "b_phi": "u",
+                       "a_psi": "i", "b_psi": "i"}
+POISSON_PAD_ONES = ("b_theta", "b_beta", "b_phi", "b_psi")
+
+
+def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
+                     extended: bool, mesh):
+    """One full Poisson-MF CAVI iteration with row-sharded Gamma state —
+    the reference's user-block -> refresh -> item-block order
+    (`poisson_mf_cavi.py:86-219`); the extended variant additionally
+    updates the scalar activity factors with the per-row Gauss-Seidel
+    refresh (`poisson_mf_extended_cavi.py:110-164`) as a SECOND ring pass
+    per side (the scalar rate needs the freshly updated factor rows, which
+    exist only after the factor pass's full ring completes)."""
+    from pmf_tpu.models.poisson_mf import RATE_FLOOR
+
+    D = layout.n_devices
+    row = P(DATA_AXIS)
+    rep = P()
+    state_specs = {k: row for k in state}
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, (row,) * 6, row, row, rep, rep),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    def _sweep(st, buckets, counts_u, counts_i, a0v, b0v):
+        ul_u, il_u, x_u, il_i, ul_i, x_i = (b[0] for b in buckets)
+        users_per, items_per = counts_u.shape[0], counts_i.shape[0]
+        dt = st["a_theta"].dtype
+        K = st["a_theta"].shape[1]
+        floor = jnp.asarray(RATE_FLOOR, dt)
+
+        E_theta = st["a_theta"] / st["b_theta"]
+        E_beta = st["a_beta"] / st["b_beta"]
+
+        def plain_block(E_self, E_other, self_loc, other_loc, xs, counts,
+                        n_self):
+            E_self_pad = _pad_row(E_self)
+
+            def body(tabs, xs_s, accs):
+                (E_vis,) = tabs
+                sl, ol, xv = xs_s
+                s_alloc, s_other = accs
+                self_rows = E_self_pad[sl]
+                other_rows = E_vis[ol]
+                rate = jnp.maximum(jnp.sum(self_rows * other_rows, -1), floor)
+                alloc = (xv / rate)[:, None] * self_rows * other_rows
+                return (s_alloc + _segsum(alloc, sl, n_self + 1),
+                        s_other + _segsum(other_rows, sl, n_self + 1))
+
+            z = jnp.zeros((n_self + 1, K), dt)
+            s_alloc, s_other = _ring((E_other,), (self_loc, other_loc, xs),
+                                     (z, z), body, D)
+            has = (counts > 0)[:, None]
+            a_out = jnp.where(has, a0v + s_alloc[:n_self], jnp.asarray(a0v, dt))
+            b_out = jnp.where(has, b0v + s_other[:n_self], jnp.asarray(b0v, dt))
+            return a_out, b_out
+
+        if not extended:
+            a_t, b_t = plain_block(E_theta, E_beta, ul_u, il_u, x_u,
+                                   counts_u, users_per)
+            E_theta = a_t / b_t
+            a_b, b_b = plain_block(E_beta, E_theta, il_i, ul_i, x_i,
+                                   counts_i, items_per)
+            return {"a_theta": a_t, "b_theta": b_t,
+                    "a_beta": a_b, "b_beta": b_b}
+
+        E_phi = st["a_phi"] / st["b_phi"]
+        E_psi = st["a_psi"] / st["b_psi"]
+
+        def ext_block(E_self, E_other, s_other, self_loc, other_loc, xs,
+                      counts, n_self):
+            """Factor + scalar updates of one side.  Ring pass 1: factor
+            allocation (unweighted dot — the scalars cancel), scalar-
+            weighted rate, and the row-local rating sum; ring pass 2:
+            scalar rate against the UPDATED factor rows."""
+            E_self_pad = _pad_row(E_self)
+
+            def body1(tabs, xs_s, accs):
+                E_vis, s_vis = tabs
+                sl, ol, xv = xs_s
+                s_alloc, s_wother, s_x = accs
+                self_rows = E_self_pad[sl]
+                other_rows = E_vis[ol]
+                dot = jnp.maximum(jnp.sum(self_rows * other_rows, -1), floor)
+                alloc = (xv / dot)[:, None] * self_rows * other_rows
+                w = s_vis[ol][:, None] * other_rows
+                return (s_alloc + _segsum(alloc, sl, n_self + 1),
+                        s_wother + _segsum(w, sl, n_self + 1),
+                        s_x + _segsum(xv, sl, n_self + 1))
+
+            z = jnp.zeros((n_self + 1, K), dt)
+            z1 = jnp.zeros((n_self + 1,), dt)
+            s_alloc, s_wother, s_x = _ring(
+                (E_other, s_other), (self_loc, other_loc, xs),
+                (z, z, z1), body1, D)
+            has = (counts > 0)[:, None]
+            a_fac = jnp.where(has, a0v + s_alloc[:n_self], jnp.asarray(a0v, dt))
+            b_fac = jnp.where(has, b0v + s_wother[:n_self], jnp.asarray(b0v, dt))
+            E_fac_pad = _pad_row(a_fac / b_fac)
+
+            def body2(tabs, xs_s, accs):
+                E_vis, s_vis = tabs
+                sl, ol, xv = xs_s
+                dot_new = jnp.sum(E_fac_pad[sl] * E_vis[ol], -1)
+                return (accs[0] + _segsum(s_vis[ol] * dot_new, sl, n_self + 1),)
+
+            (s_sdot,) = _ring((E_other, s_other), (self_loc, other_loc, xs),
+                              (z1,), body2, D)
+            has1 = counts > 0
+            a_s = jnp.where(has1, a0v + s_x[:n_self], jnp.asarray(a0v, dt))
+            b_s = jnp.where(has1, b0v + s_sdot[:n_self], jnp.asarray(b0v, dt))
+            return a_fac, b_fac, a_s, b_s
+
+        a_t, b_t, a_phi, b_phi = ext_block(E_theta, E_beta, E_psi,
+                                           ul_u, il_u, x_u, counts_u,
+                                           users_per)
+        E_theta = a_t / b_t
+        E_phi = a_phi / b_phi
+        a_b, b_b, a_psi, b_psi = ext_block(E_beta, E_theta, E_phi,
+                                           il_i, ul_i, x_i, counts_i,
+                                           items_per)
+        return {"a_theta": a_t, "b_theta": b_t, "a_beta": a_b, "b_beta": b_b,
+                "a_phi": a_phi, "b_phi": b_phi, "a_psi": a_psi, "b_psi": b_psi}
+
+    buckets = (layout.u_loc_by_u, layout.i_loc_by_u, layout.x_by_u,
+               layout.i_loc_by_i, layout.u_loc_by_i, layout.x_by_i)
+    dt = state["a_theta"].dtype
+    return _sweep(state, buckets, layout.user_counts, layout.item_counts,
+                  jnp.asarray(a0, dt), jnp.asarray(b0, dt))
+
 
 def tp_sweep_hpf(state: dict, layout: TPLayout, a, a_prime, b_prime,
                  c, c_prime, d_prime, *, mesh):

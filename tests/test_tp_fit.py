@@ -115,6 +115,24 @@ def test_hpf_tp_full_fit(small_splits, mesh8):
     _assert_states_match(single.state, tp.state)
 
 
+@pytest.mark.parametrize("extended", [False, True])
+def test_poisson_tp_full_fit(small_splits, mesh8, extended):
+    from pmf_tpu.models.poisson_mf import PoissonMF, PoissonMFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx), (vu, vi, vx)
+    cfg = dict(n_factors=5, max_iter=8, tol=1e-4, verbose=False,
+               dtype="float64", engine="flat", extended=extended)
+
+    single = PoissonMF(PoissonMFConfig(**cfg)).fit(train, val)
+    tp = PoissonMF(PoissonMFConfig(**cfg)).fit(train, val, mesh=mesh8,
+                                               state_sharding="rows")
+    assert len(single.fit_history) == len(tp.fit_history)
+    for rs, rm in zip(single.fit_history, tp.fit_history):
+        assert abs(rs["val_rmse"] - rm["val_rmse"]) < 1e-9
+    _assert_states_match(single.state, tp.state)
+
+
 def test_tp_checkpoint_resume(small_splits, mesh8, tmp_path):
     """Checkpoints written from sharded state resume into the TP fit."""
     from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
