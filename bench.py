@@ -234,13 +234,22 @@ def bench_hpf_map(u, i, x, n_users, n_items, nnz, rtt, K=20, epochs=3,
     return out
 
 
-def bench_serving(u, i, n_users, n_items, K, rtt, n_query=16384, k=100):
+def bench_serving(u, i, n_users, n_items, K, rtt, n_query=16384, k=100,
+                  flat=None):
     """Serving path: batch top-k unseen-item recommendation throughput at
     ML-25M scale (dense MXU scoring + train-item exclusion + lax.top_k),
-    with the exclusion index prepared once as a server would."""
+    with the exclusion index prepared once as a server would.  Cold prep
+    (from host pair arrays, e.g. a checkpoint-loading server) is dominated
+    on this tunnel-attached chip by the 100 MB item-column transfer; the
+    from-COO path (server colocated with training) reuses the device-
+    resident by-user layout and is measured separately."""
     import jax.numpy as jnp
 
-    from pmf_tpu.eval.recommend import build_exclusion_index, recommend
+    from pmf_tpu.eval.recommend import (
+        build_exclusion_index,
+        exclusion_index_from_coo,
+        recommend,
+    )
 
     rng = np.random.default_rng(2)
     theta = jnp.asarray(rng.random((n_users, K), np.float32))
@@ -259,8 +268,18 @@ def bench_serving(u, i, n_users, n_items, K, rtt, n_query=16384, k=100):
         out = {"users_per_sec_topk": round(n_query / dt, 1), "k": k,
                "prep_seconds": round(t_prep, 2),
                "batch_seconds": round(dt, 3)}
+        if flat is not None:
+            t0 = time.perf_counter()
+            warm = exclusion_index_from_coo(flat)
+            t_warm = time.perf_counter() - t0
+            wi, _ = recommend(theta, beta, users[:2048], k=k, batch=2048,
+                              train_index=warm)
+            assert (wi == items[:2048]).all(), "warm index mismatch"
+            out["prep_seconds_from_coo"] = round(t_warm, 3)
         print(f"# serving top-{k}: {n_query/dt/1e3:.1f}k users/s "
-              f"(index prep {t_prep:.1f}s once)", file=sys.stderr)
+              f"(index prep {t_prep:.1f}s cold"
+              + (f", {out['prep_seconds_from_coo']:.2f}s from-COO"
+                 if flat is not None else "") + ")", file=sys.stderr)
     except Exception as e:
         out = {"failure": classify_failure(e)}
         print(f"# serving failed: {str(e)[:140]}", file=sys.stderr)
@@ -384,7 +403,7 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
     g = bench_gaussian(u, i, xg, n_users, n_items, nnz, K, iters, rtt)
     g_blocked, g_flat = g.pop("_layout")
     gdiag = bench_gaussian_diag(g_blocked, g_flat, nnz, K, iters, rtt)
-    serving = bench_serving(u, i, n_users, n_items, K, rtt)
+    serving = bench_serving(u, i, n_users, n_items, K, rtt, flat=h_flat)
 
     value = hpf_results.get("hybrid_high") or hpf_results["blocked_high"]
     gval = g.get("updates_per_sec_4block")

@@ -7,4 +7,8 @@ from pmf_tpu.eval.metrics import (
     masked_rmse,
     masked_macro_mae,
 )
-from pmf_tpu.eval.recommend import recommend
+from pmf_tpu.eval.recommend import (
+    build_exclusion_index,
+    exclusion_index_from_coo,
+    recommend,
+)

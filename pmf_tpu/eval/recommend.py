@@ -62,6 +62,19 @@ def build_exclusion_index(train_u, train_i, n_users: int | None = None):
     return row_ptr, jnp.asarray(ti, jnp.int32)
 
 
+def exclusion_index_from_coo(data):
+    """Zero-transfer serving index from a training `RatingsCOO`: its
+    ``i_by_u`` column is ALREADY the by-user-sorted item list and already
+    device-resident (padding sentinels sit past the real-edge prefix, so
+    the CSR pointers from ``user_counts`` never address them).  On a
+    tunnel-attached chip the cold `build_exclusion_index` is dominated by
+    shipping the 4*nnz-byte item column host->device; serving from the
+    training layout skips both the sort and the transfer entirely."""
+    counts = np.asarray(data.user_counts, dtype=np.int64)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return row_ptr, data.i_by_u
+
+
 @partial(jax.jit, static_argnames=("cap", "n_rows"))
 def _device_mask(lo, off, cnt, ti_dev, cap: int, n_rows: int):
     """Build the (row, item) scatter-mask indices for one batch on device:

@@ -692,9 +692,11 @@ class GaussianMF(FactorModel):
         from pmf_tpu.parallel.tp import (
             GAUSSIAN_AXIS_OF,
             build_tp_layout,
+            dp_degree,
             pad_state_rows,
             place_tp,
             slice_state_rows,
+            tp_degree,
             tp_sweep_gaussian,
         )
 
@@ -707,9 +709,13 @@ class GaussianMF(FactorModel):
         self.n_items = int(i.max()) + 1
         if cfg.verbose:
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items} "
-                  f"(TP over {mesh.devices.size} devices)", flush=True)
+                  f"(TP ring {tp_degree(mesh)}"
+                  + (f" x DP {dp_degree(mesh)}" if dp_degree(mesh) > 1
+                     else "")
+                  + ")", flush=True)
         layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
-                                 mesh.devices.size, dtype=self._dtype)
+                                 tp_degree(mesh), dtype=self._dtype,
+                                 dp=dp_degree(mesh))
         # TP checkpoints carry mesh-padded row counts; restore against the
         # padded default (cross-mode resume would need a repad, unsupported).
         state = self._initial_state(

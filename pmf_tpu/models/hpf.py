@@ -412,9 +412,11 @@ class HPF(FactorModel):
             HPF_AXIS_OF,
             HPF_PAD_ONES,
             build_tp_layout,
+            dp_degree,
             pad_state_rows,
             place_tp,
             slice_state_rows,
+            tp_degree,
             tp_sweep_hpf,
         )
 
@@ -424,9 +426,13 @@ class HPF(FactorModel):
         self.n_items = int(i.max()) + 1
         if cfg.verbose:
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items} "
-                  f"(TP over {mesh.devices.size} devices)", flush=True)
+                  f"(TP ring {tp_degree(mesh)}"
+                  + (f" x DP {dp_degree(mesh)}" if dp_degree(mesh) > 1
+                     else "")
+                  + ")", flush=True)
         layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
-                                 mesh.devices.size, dtype=self._dtype)
+                                 tp_degree(mesh), dtype=self._dtype,
+                                 dp=dp_degree(mesh))
         state = self._initial_state(
             pad_state_rows(init_state(self.n_users, self.n_items, cfg),
                            HPF_AXIS_OF, layout.n_users_pad,

@@ -420,9 +420,11 @@ class PoissonMF(FactorModel):
             POISSON_EXT_AXIS_OF,
             POISSON_PAD_ONES,
             build_tp_layout,
+            dp_degree,
             pad_state_rows,
             place_tp,
             slice_state_rows,
+            tp_degree,
             tp_sweep_poisson,
         )
 
@@ -432,9 +434,13 @@ class PoissonMF(FactorModel):
         self.n_items = int(i.max()) + 1
         if cfg.verbose:
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items} "
-                  f"(TP over {mesh.devices.size} devices)", flush=True)
+                  f"(TP ring {tp_degree(mesh)}"
+                  + (f" x DP {dp_degree(mesh)}" if dp_degree(mesh) > 1
+                     else "")
+                  + ")", flush=True)
         layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
-                                 mesh.devices.size, dtype=self._dtype)
+                                 tp_degree(mesh), dtype=self._dtype,
+                                 dp=dp_degree(mesh))
         axis_of = POISSON_EXT_AXIS_OF if cfg.extended else POISSON_AXIS_OF
         state = self._initial_state(
             pad_state_rows(init_state(self.n_users, self.n_items, cfg),

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pmf_tpu.data.coo import EvalSet, RatingsCOO
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -38,6 +39,21 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(dp: int, tp: int, devices=None) -> Mesh:
+    """A (dp, tp) mesh with axes ("data", "model") for hybrid-parallel
+    training: edges shard over "data", factor-state rows over "model"
+    (`fit(mesh=, state_sharding="rows")` detects the second axis and runs
+    the ring sweeps with per-block edge-partial psums over "data")."""
+    if devices is None:
+        devices = jax.devices()
+    if dp * tp > len(devices):
+        raise ValueError(f"need {dp * tp} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[: dp * tp]).reshape(dp, tp),
+        (DATA_AXIS, MODEL_AXIS),
+    )
 
 
 def _edge_sharding(mesh: Mesh) -> NamedSharding:

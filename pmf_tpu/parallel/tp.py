@@ -33,6 +33,15 @@ Design (TPU-native, not a translation):
   etc.), so the fixed point and per-iteration trajectory match the
   single-device engines to summation-order rounding (tested at 1e-10 in
   f64, `tests/test_tp_fit.py`).
+
+* **Hybrid DP x TP** on a 2-D ("data", "model") mesh
+  (`pmf_tpu.parallel.make_mesh_2d(dp, tp)`): state rows shard over
+  "model" (ring length = tp), each bucket's edges round-robin split over
+  "data" (`_dp_split`), and every ring pass's partial segment sums psum
+  over the data axis before the row updates — composing edge-parallel
+  throughput scaling with row-sharded state memory scaling, the standard
+  2-D sharding recipe for embedding-style models.  The same sweep code
+  serves both: `_mesh_info` maps mesh axes to ring/reduce roles.
 """
 
 from __future__ import annotations
@@ -45,11 +54,43 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pmf_tpu.parallel.mesh import DATA_AXIS
+from pmf_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _mesh_info(mesh) -> dict:
+    """Axis roles for TP sweeps.  1-D ("data",) mesh: the ring rotates
+    over "data" (pure TP, the historical mode).  2-D ("data", "model")
+    mesh: hybrid parallelism — state rows ring-rotate over "model" while
+    each bucket's edges split over "data", so each ring step's partial
+    segment sums psum over the data axis (DP x TP)."""
+    names = mesh.axis_names
+    if names == (DATA_AXIS,):
+        return dict(ring=DATA_AXIS, dp=None, row=P(DATA_AXIS),
+                    bucket=P(DATA_AXIS))
+    if names == (DATA_AXIS, MODEL_AXIS):
+        return dict(ring=MODEL_AXIS, dp=DATA_AXIS, row=P(MODEL_AXIS),
+                    bucket=P(MODEL_AXIS, DATA_AXIS))
+    raise ValueError(
+        f"TP sweeps support ('data',) or ('data', 'model') meshes, got {names}"
+    )
+
+
+def tp_degree(mesh) -> int:
+    """Ring length: the number of row shards."""
+    if MODEL_AXIS in mesh.axis_names:
+        return mesh.shape[MODEL_AXIS]
+    return mesh.devices.size
+
+
+def dp_degree(mesh) -> int:
+    """Edge-parallel replicas per row shard (1 on a 1-D mesh)."""
+    if MODEL_AXIS in mesh.axis_names:
+        return mesh.shape[DATA_AXIS]
+    return 1
 
 
 @partial(
@@ -60,13 +101,17 @@ def _round_up(n: int, m: int) -> int:
         "user_counts", "item_counts",
     ],
     meta_fields=["n_users", "n_items", "n_users_pad", "n_items_pad",
-                 "users_per", "items_per", "n_devices", "nnz"],
+                 "users_per", "items_per", "n_devices", "nnz", "n_dp"],
 )
 @dataclasses.dataclass(frozen=True)
 class TPLayout:
     """Row-aligned bucketed COO for ring sweeps (see module docstring).
 
-    ``*_by_u``: (D, D, max_eu) — [device (user shard), ring step, edge].
+    ``*_by_u``: (D, D, max_eu) — [device (user shard), ring step, edge];
+    with ``n_dp > 1`` (hybrid DP x TP) the arrays gain a DP axis:
+    (D, n_dp, D, max_eu / n_dp) — each bucket's edges round-robin split
+    over the data-parallel replicas (strided split keeps self-sorted
+    order within every part).
     ``u_loc``/``i_loc`` are LOCAL row ids: self ids in [0, rows_per]
     (rows_per = trash row), other ids in [0, other_per) relative to the
     visiting shard.  ``*_by_i`` mirrors with items as self.
@@ -88,6 +133,7 @@ class TPLayout:
     items_per: int
     n_devices: int
     nnz: int
+    n_dp: int = 1
 
 
 def _bucketize(self_ids, other_ids, x, self_per, other_per, D, dtype):
@@ -121,9 +167,23 @@ def _bucketize(self_ids, other_ids, x, self_per, other_per, D, dtype):
     )
 
 
+def _dp_split(a: np.ndarray, dp: int, pad_val) -> np.ndarray:
+    """(D, D, m) -> (D, dp, D, ceil(m/dp)): round-robin edge split over the
+    data-parallel replicas.  Strided slices of a self-sorted bucket stay
+    self-sorted, preserving the segment-sum sortedness invariant."""
+    D, D2, m = a.shape
+    m_dp = (m + dp - 1) // dp
+    out = np.full((D, dp, D2, m_dp), pad_val, dtype=a.dtype)
+    for p in range(dp):
+        part = a[:, :, p::dp]
+        out[:, p, :, : part.shape[2]] = part
+    return out
+
+
 def build_tp_layout(u, i, x, n_users: int, n_items: int, n_devices: int,
-                    dtype=np.float32) -> TPLayout:
-    """Host-side build of the bucketed dual layout."""
+                    dtype=np.float32, dp: int = 1) -> TPLayout:
+    """Host-side build of the bucketed dual layout.  ``dp > 1`` builds the
+    hybrid DP x TP variant (see `TPLayout`)."""
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     x = np.asarray(x, dtype=dtype)
@@ -134,6 +194,13 @@ def build_tp_layout(u, i, x, n_users: int, n_items: int, n_devices: int,
 
     ul_u, il_u, x_u = _bucketize(u, i, x, users_per, items_per, D, dtype)
     il_i, ul_i, x_i = _bucketize(i, u, x, items_per, users_per, D, dtype)
+    if dp > 1:
+        ul_u = _dp_split(ul_u, dp, users_per)
+        il_u = _dp_split(il_u, dp, 0)
+        x_u = _dp_split(x_u, dp, 0)
+        il_i = _dp_split(il_i, dp, items_per)
+        ul_i = _dp_split(ul_i, dp, 0)
+        x_i = _dp_split(x_i, dp, 0)
 
     uc = np.zeros(n_users_pad, dtype=np.float32)
     ic = np.zeros(n_items_pad, dtype=np.float32)
@@ -149,7 +216,7 @@ def build_tp_layout(u, i, x, n_users: int, n_items: int, n_devices: int,
         n_users=n_users, n_items=n_items,
         n_users_pad=n_users_pad, n_items_pad=n_items_pad,
         users_per=users_per, items_per=items_per,
-        n_devices=D, nnz=int(u.shape[0]),
+        n_devices=D, nnz=int(u.shape[0]), n_dp=int(dp),
     )
 
 
@@ -178,19 +245,22 @@ def slice_state_rows(state: dict, axis_of: dict, n_users: int,
 
 
 def place_tp(layout: TPLayout, state: dict, mesh) -> tuple:
-    """Device placement: edge buckets shard on axis 0 (one device's
-    buckets per chip), counts and state rows shard on their leading row
-    axis."""
-    row = NamedSharding(mesh, P(DATA_AXIS))
+    """Device placement: edge buckets shard on axis 0 (one row shard's
+    buckets per chip; hybrid meshes also shard the DP axis), counts and
+    state rows shard on their leading row axis (replicated over "data"
+    on a hybrid mesh)."""
+    info = _mesh_info(mesh)
+    row = NamedSharding(mesh, info["row"])
+    bucket = NamedSharding(mesh, info["bucket"])
     put = jax.device_put
     layout = dataclasses.replace(
         layout,
-        u_loc_by_u=put(layout.u_loc_by_u, row),
-        i_loc_by_u=put(layout.i_loc_by_u, row),
-        x_by_u=put(layout.x_by_u, row),
-        i_loc_by_i=put(layout.i_loc_by_i, row),
-        u_loc_by_i=put(layout.u_loc_by_i, row),
-        x_by_i=put(layout.x_by_i, row),
+        u_loc_by_u=put(layout.u_loc_by_u, bucket),
+        i_loc_by_u=put(layout.i_loc_by_u, bucket),
+        x_by_u=put(layout.x_by_u, bucket),
+        i_loc_by_i=put(layout.i_loc_by_i, bucket),
+        u_loc_by_i=put(layout.u_loc_by_i, bucket),
+        x_by_i=put(layout.x_by_i, bucket),
         user_counts=put(layout.user_counts, row),
         item_counts=put(layout.item_counts, row),
     )
@@ -198,21 +268,26 @@ def place_tp(layout: TPLayout, state: dict, mesh) -> tuple:
     return layout, state
 
 
-def _ring(tables: tuple, buckets: tuple, accs: tuple, body, D: int):
+def _ring(tables: tuple, buckets: tuple, accs: tuple, body, D: int,
+          axis: str = DATA_AXIS, reduce_axis: str | None = None):
     """Run D ring steps: consume bucket s against the visiting tables,
     then rotate the tables one hop (device d receives from d+1, so at
-    step s it holds shard (d+s) % D — matching the bucket build)."""
+    step s it holds shard (d+s) % D — matching the bucket build).  With
+    ``reduce_axis`` (hybrid DP x TP), each replica consumed only its edge
+    split, so the accumulators psum over that axis before returning."""
     perm = [(j, (j - 1) % D) for j in range(D)]
 
     def step(carry, xs):
         tabs, accs = carry
         accs = body(tabs, xs, accs)
         tabs = tuple(
-            jax.lax.ppermute(t, DATA_AXIS, perm) for t in tabs
+            jax.lax.ppermute(t, axis, perm) for t in tabs
         )
         return (tabs, accs), None
 
     (_, accs), _ = jax.lax.scan(step, (tables, accs), buckets)
+    if reduce_axis is not None:
+        accs = tuple(jax.lax.psum(a, reduce_axis) for a in accs)
     return accs
 
 
@@ -242,19 +317,23 @@ def tp_sweep_gaussian(
     reference's exact block order (theta, beta, b_user, b_item,
     `gaussian_mf_cavi_bias.py:125-263`) as four ring passes."""
     D = layout.n_devices
-    row = P(DATA_AXIS)
+    info = _mesh_info(mesh)
+    ring_ax, dp_ax = info["ring"], info["dp"]
+    row = info["row"]
     rep = P()
     state_specs = {k: row for k in state}
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(state_specs, (row,) * 6, row, row, rep, rep, rep, rep),
+        in_specs=(state_specs, (info["bucket"],) * 6, row, row,
+                  rep, rep, rep, rep),
         out_specs=state_specs,
         check_vma=False,
     )
     def _sweep(st, buckets, counts_u, counts_i, s2, et2, eb2, ebias2):
-        ul_u, il_u, x_u, il_i, ul_i, x_i = (b[0] for b in buckets)
+        ul_u, il_u, x_u, il_i, ul_i, x_i = (
+            b.reshape(b.shape[-2], b.shape[-1]) for b in buckets)
         users_per, items_per = counts_u.shape[0], counts_i.shape[0]
         m_t, V_t = st["m_theta"], st["V_theta"]
         m_b, V_b = st["m_beta"], st["V_beta"]
@@ -287,7 +366,7 @@ def tp_sweep_gaussian(
                 S0 = jnp.zeros((n_self + 1, K * K), dt)
                 w0 = jnp.zeros((n_self + 1, K), dt)
                 S, w = _ring(tables, (self_loc, other_loc, xs), (S0, w0),
-                             body, D)
+                             body, D, ring_ax, dp_ax)
                 S = S[:n_self].reshape(n_self, K, K)
                 w = w[:n_self]
                 from pmf_tpu.ops.solve import batched_psd_inverse
@@ -321,7 +400,7 @@ def tp_sweep_gaussian(
 
             z = jnp.zeros((n_self + 1, K), dt)
             S_sq, S_mr, S_mm = _ring(tables, (self_loc, other_loc, xs),
-                                     (z, z, z), body, D)
+                                     (z, z, z), body, D, ring_ax, dp_ax)
             S_sq, S_mr, S_mm = S_sq[:n_self], S_mr[:n_self], S_mm[:n_self]
             prec = 1.0 / jnp.asarray(eta2, dt) + S_sq / jnp.asarray(s2, dt)
             v_new = 1.0 / prec
@@ -342,7 +421,7 @@ def tp_sweep_gaussian(
                 return (accs[0] + _segsum(resid, sl, n_self + 1),)
 
             (s,) = _ring((m_other, b_other), (self_loc, other_loc, xs),
-                         (jnp.zeros(n_self + 1, dt),), body, D)
+                         (jnp.zeros(n_self + 1, dt),), body, D, ring_ax, dp_ax)
             s = s[:n_self]
             prec = 1.0 / jnp.asarray(ebias2, dt) + counts.astype(dt) / jnp.asarray(s2, dt)
             return jnp.where(counts > 0, s / (prec * jnp.asarray(s2, dt)),
@@ -394,19 +473,22 @@ def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
     from pmf_tpu.models.poisson_mf import RATE_FLOOR
 
     D = layout.n_devices
-    row = P(DATA_AXIS)
+    info = _mesh_info(mesh)
+    ring_ax, dp_ax = info["ring"], info["dp"]
+    row = info["row"]
     rep = P()
     state_specs = {k: row for k in state}
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(state_specs, (row,) * 6, row, row, rep, rep),
+        in_specs=(state_specs, (info["bucket"],) * 6, row, row, rep, rep),
         out_specs=state_specs,
         check_vma=False,
     )
     def _sweep(st, buckets, counts_u, counts_i, a0v, b0v):
-        ul_u, il_u, x_u, il_i, ul_i, x_i = (b[0] for b in buckets)
+        ul_u, il_u, x_u, il_i, ul_i, x_i = (
+            b.reshape(b.shape[-2], b.shape[-1]) for b in buckets)
         users_per, items_per = counts_u.shape[0], counts_i.shape[0]
         dt = st["a_theta"].dtype
         K = st["a_theta"].shape[1]
@@ -432,7 +514,7 @@ def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
 
             z = jnp.zeros((n_self + 1, K), dt)
             s_alloc, s_other = _ring((E_other,), (self_loc, other_loc, xs),
-                                     (z, z), body, D)
+                                     (z, z), body, D, ring_ax, dp_ax)
             has = (counts > 0)[:, None]
             a_out = jnp.where(has, a0v + s_alloc[:n_self], jnp.asarray(a0v, dt))
             b_out = jnp.where(has, b0v + s_other[:n_self], jnp.asarray(b0v, dt))
@@ -475,7 +557,7 @@ def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
             z1 = jnp.zeros((n_self + 1,), dt)
             s_alloc, s_wother, s_x = _ring(
                 (E_other, s_other), (self_loc, other_loc, xs),
-                (z, z, z1), body1, D)
+                (z, z, z1), body1, D, ring_ax, dp_ax)
             has = (counts > 0)[:, None]
             a_fac = jnp.where(has, a0v + s_alloc[:n_self], jnp.asarray(a0v, dt))
             b_fac = jnp.where(has, b0v + s_wother[:n_self], jnp.asarray(b0v, dt))
@@ -488,7 +570,7 @@ def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
                 return (accs[0] + _segsum(s_vis[ol] * dot_new, sl, n_self + 1),)
 
             (s_sdot,) = _ring((E_other, s_other), (self_loc, other_loc, xs),
-                              (z1,), body2, D)
+                              (z1,), body2, D, ring_ax, dp_ax)
             has1 = counts > 0
             a_s = jnp.where(has1, a0v + s_x[:n_self], jnp.asarray(a0v, dt))
             b_s = jnp.where(has1, b0v + s_sdot[:n_self], jnp.asarray(b0v, dt))
@@ -521,7 +603,9 @@ def tp_sweep_hpf(state: dict, layout: TPLayout, a, a_prime, b_prime,
     from pmf_tpu.models.hpf import RATE_FLOOR
 
     D = layout.n_devices
-    row = P(DATA_AXIS)
+    info = _mesh_info(mesh)
+    ring_ax, dp_ax = info["ring"], info["dp"]
+    row = info["row"]
     rep = P()
     state_specs = {k: row for k in state}
     scal = (rep,) * 6
@@ -529,12 +613,13 @@ def tp_sweep_hpf(state: dict, layout: TPLayout, a, a_prime, b_prime,
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(state_specs, (row,) * 6, row, row) + scal,
+        in_specs=(state_specs, (info["bucket"],) * 6, row, row) + scal,
         out_specs=state_specs,
         check_vma=False,
     )
     def _sweep(st, buckets, counts_u, counts_i, av, apv, bpv, cv, cpv, dpv):
-        ul_u, il_u, x_u, il_i, ul_i, x_i = (b[0] for b in buckets)
+        ul_u, il_u, x_u, il_i, ul_i, x_i = (
+            b.reshape(b.shape[-2], b.shape[-1]) for b in buckets)
         users_per, items_per = counts_u.shape[0], counts_i.shape[0]
         dt = st["a_theta"].dtype
         K = st["a_theta"].shape[1]
@@ -564,7 +649,7 @@ def tp_sweep_hpf(state: dict, layout: TPLayout, a, a_prime, b_prime,
 
             z = jnp.zeros((n_self + 1, K), dt)
             s_alloc, s_other = _ring((E_other,), (self_loc, other_loc, xs),
-                                     (z, z), body, D)
+                                     (z, z), body, D, ring_ax, dp_ax)
             s_alloc, s_other = s_alloc[:n_self], s_other[:n_self]
             has = (counts > 0)[:, None]
             a_out = jnp.where(has, shape0 + s_alloc, jnp.asarray(shape0, dt))

@@ -111,6 +111,19 @@ def test_recommend_matches_dense_oracle(small_splits):
     np.testing.assert_array_equal(items, items2)
     np.testing.assert_allclose(scores, scores2, rtol=1e-6)
 
+    # The zero-transfer index derived from a training RatingsCOO (the
+    # device-resident by-user layout) serves identically.
+    from pmf_tpu.data.coo import build_ratings
+    from pmf_tpu.eval.recommend import exclusion_index_from_coo
+
+    coo = build_ratings(tu, ti, np.ones(len(tu), np.float32),
+                        n_users=theta.shape[0], n_items=beta.shape[0])
+    idx3 = exclusion_index_from_coo(coo)
+    items3, scores3 = recommend(theta, beta, users, k=k, train_index=idx3,
+                                batch=16)
+    np.testing.assert_array_equal(items, items3)
+    np.testing.assert_allclose(scores, scores3, rtol=1e-6)
+
 
 def test_model_recommend_facade(small_splits):
     from pmf_tpu.models.hpf import HPF, HPFConfig

@@ -133,6 +133,75 @@ def test_poisson_tp_full_fit(small_splits, mesh8, extended):
     _assert_states_match(single.state, tp.state)
 
 
+@pytest.fixture(scope="module")
+def mesh2x4():
+    from pmf_tpu.parallel import make_mesh_2d
+
+    return make_mesh_2d(2, 4)
+
+
+def test_hybrid_dp_tp_gaussian(small_splits, mesh2x4):
+    """Hybrid DP x TP: state rows sharded over the 4-way "model" axis,
+    each ring step's edges split over the 2-way "data" axis with partial
+    segment sums psummed over ICI.  Full fit matches single-device."""
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+    from pmf_tpu.parallel import MODEL_AXIS
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    mean = tx.mean()
+    train, val = (tu, ti, tx - mean), (vu, vi, vx - mean)
+    cfg = dict(n_factors=5, sigma2=0.8, max_iter=8, tol=1e-4, verbose=False,
+               dtype="float64", engine="flat", use_bias=True)
+
+    single = GaussianMF(GaussianMFConfig(**cfg)).fit(train, val,
+                                                     global_mean=mean)
+    hy = GaussianMF(GaussianMFConfig(**cfg)).fit(
+        train, val, global_mean=mean, mesh=mesh2x4, state_sharding="rows")
+    assert len(single.fit_history) == len(hy.fit_history)
+    for rs, rm in zip(single.fit_history, hy.fit_history):
+        assert abs(rs["val_rmse"] - rm["val_rmse"]) < 1e-9
+    _assert_states_match(single.state, hy.state)
+    # The fitted padded state must be sharded on "model" (4 row shards,
+    # replicated over "data") — check via a re-padded fit internals probe:
+    # hy.state is sliced back to logical rows; instead assert the mesh ran
+    # ring steps by checking equivalence held (above) AND the layout split.
+    from pmf_tpu.parallel.tp import build_tp_layout
+
+    lo = build_tp_layout(tu, ti, tx - mean, single.state["m_theta"].shape[0],
+                         single.state["m_beta"].shape[0], 4, dp=2,
+                         dtype="float64")
+    assert lo.n_dp == 2 and lo.u_loc_by_u.ndim == 4
+    assert lo.u_loc_by_u.shape[:3] == (4, 2, 4)
+
+
+def test_hybrid_dp_tp_poisson_extended(small_splits, mesh2x4):
+    """The two-ring Gauss-Seidel extended sweep under the hybrid mesh."""
+    from pmf_tpu.models.poisson_mf import PoissonMF, PoissonMFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    cfg = dict(n_factors=5, max_iter=6, tol=1e-4, verbose=False,
+               dtype="float64", engine="flat", extended=True)
+
+    single = PoissonMF(PoissonMFConfig(**cfg)).fit((tu, ti, tx),
+                                                   (vu, vi, vx))
+    hy = PoissonMF(PoissonMFConfig(**cfg)).fit(
+        (tu, ti, tx), (vu, vi, vx), mesh=mesh2x4, state_sharding="rows")
+    assert len(single.fit_history) == len(hy.fit_history)
+    _assert_states_match(single.state, hy.state)
+
+
+def test_hybrid_dp_tp_hpf(small_splits, mesh2x4):
+    from pmf_tpu.models.hpf import HPF, HPFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    cfg = dict(n_factors=5, max_iter=6, tol=1e-4, verbose=False,
+               dtype="float64", engine="flat")
+    single = HPF(HPFConfig(**cfg)).fit((tu, ti, tx + 1), (vu, vi, vx + 1))
+    hy = HPF(HPFConfig(**cfg)).fit((tu, ti, tx + 1), (vu, vi, vx + 1),
+                                   mesh=mesh2x4, state_sharding="rows")
+    _assert_states_match(single.state, hy.state)
+
+
 def test_tp_checkpoint_resume(small_splits, mesh8, tmp_path):
     """Checkpoints written from sharded state resume into the TP fit."""
     from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
