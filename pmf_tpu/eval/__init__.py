@@ -11,4 +11,5 @@ from pmf_tpu.eval.recommend import (
     build_exclusion_index,
     exclusion_index_from_coo,
     recommend,
+    recommend_sharded,
 )

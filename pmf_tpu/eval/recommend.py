@@ -75,6 +75,88 @@ def exclusion_index_from_coo(data):
     return row_ptr, data.i_by_u
 
 
+def recommend_sharded(
+    theta,
+    beta,
+    user_ids,
+    k: int = 10,
+    train_index=None,
+    mesh=None,
+    item_bias=None,
+):
+    """Mesh-parallel batch top-k: the queried users shard over the mesh's
+    leading axis; each device scores its user slice against the
+    replicated factor tables and builds its own exclusion masks — no
+    collectives at all (scores, masks, and top-k are row-local), so
+    serving throughput scales linearly with devices.  Returns the same
+    (items, scores) as `recommend` (equivalence-gated on the CPU mesh,
+    `tests/test_ranking.py`)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        raise ValueError("recommend_sharded requires a mesh")
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if len(mesh.axis_names) > 1:
+        raise ValueError("recommend_sharded supports 1-D meshes")
+    theta = jnp.asarray(theta, jnp.float32)
+    beta = jnp.asarray(beta, jnp.float32)
+    item_bias = (
+        jnp.zeros(beta.shape[0], jnp.float32)
+        if item_bias is None
+        else jnp.asarray(item_bias, jnp.float32)
+    )
+    users = np.asarray(user_ids, dtype=np.int64)
+    n = len(users)
+    per = max((n + n_dev - 1) // n_dev, 1)
+    n_pad = per * n_dev
+    users_p = np.concatenate([users, np.zeros(n_pad - n, np.int64)])
+
+    if train_index is not None:
+        row_ptr, ti_dev = train_index
+        if len(row_ptr) - 1 < theta.shape[0]:
+            pad = np.full(theta.shape[0] - (len(row_ptr) - 1), row_ptr[-1],
+                          dtype=row_ptr.dtype)
+            row_ptr = np.concatenate([row_ptr, pad])
+        lo = row_ptr[users_p].astype(np.int32)
+        cnt = (row_ptr[users_p + 1] - row_ptr[users_p]).astype(np.int32)
+        cnt[n:] = 0  # padding users exclude nothing
+        cnt2 = cnt.reshape(n_dev, per)
+        off = np.concatenate(
+            [np.zeros((n_dev, 1), np.int32),
+             np.cumsum(cnt2, axis=1, dtype=np.int32)[:, :-1]], axis=1
+        ).reshape(-1)
+        cap = _round_pow2(max(int(cnt2.sum(axis=1).max()), 1))
+    else:
+        ti_dev = jnp.zeros((1,), jnp.int32)
+        lo = np.zeros(n_pad, np.int32)
+        cnt = np.zeros(n_pad, np.int32)
+        off = np.zeros(n_pad, np.int32)
+        cap = 1
+
+    shard = NamedSharding(mesh, P(axis))
+    ub_d = jax.device_put(jnp.asarray(users_p, jnp.int32), shard)
+    lo_d = jax.device_put(jnp.asarray(lo), shard)
+    off_d = jax.device_put(jnp.asarray(off), shard)
+    cnt_d = jax.device_put(jnp.asarray(cnt), shard)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    def _serve(ub, lo_s, off_s, cnt_s, th, be, ib, ti):
+        rows = th[ub]
+        mask_u, mask_i = _device_mask(lo_s, off_s, cnt_s, ti, cap, per)
+        return _topk_batch(rows, be, ib, mask_u, mask_i, k)
+
+    vals, idx = _serve(ub_d, lo_d, off_d, cnt_d, theta, beta, item_bias,
+                       ti_dev)
+    return np.asarray(idx)[:n].astype(np.int64), np.asarray(vals)[:n]
+
+
 @partial(jax.jit, static_argnames=("cap", "n_rows"))
 def _device_mask(lo, off, cnt, ti_dev, cap: int, n_rows: int):
     """Build the (row, item) scatter-mask indices for one batch on device:

@@ -165,6 +165,42 @@ def test_recommend_ranks_with_item_bias(small_splits):
                                    atol=1e-5)
 
 
+def test_recommend_sharded_matches_single():
+    """Mesh-parallel serving: users sharded over an 8-device mesh must
+    return exactly the single-device recommend() results (scores, masks,
+    and top-k are all row-local — zero collectives)."""
+    from pmf_tpu.eval.recommend import (
+        build_exclusion_index,
+        recommend,
+        recommend_sharded,
+    )
+    from pmf_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(11)
+    nu, ni, nnz = 300, 120, 4000
+    tu = rng.integers(0, nu, nnz)
+    ti = rng.integers(0, ni, nnz)
+    theta = rng.standard_normal((nu, 6)).astype(np.float32)
+    beta = rng.standard_normal((ni, 6)).astype(np.float32)
+    bias = rng.standard_normal(ni).astype(np.float32)
+    idx = build_exclusion_index(tu, ti, n_users=nu)
+    users = rng.integers(0, nu, 101)  # odd count: exercises padding
+    mesh = make_mesh(8)
+
+    it1, s1 = recommend(theta, beta, users, k=7, train_index=idx,
+                        item_bias=bias)
+    it2, s2 = recommend_sharded(theta, beta, users, k=7, train_index=idx,
+                                mesh=mesh, item_bias=bias)
+    np.testing.assert_array_equal(it1, it2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    # No exclusion index: plain sharded scoring.
+    it3, s3 = recommend(theta, beta, users, k=7)
+    it4, s4 = recommend_sharded(theta, beta, users, k=7, mesh=mesh)
+    np.testing.assert_array_equal(it3, it4)
+    np.testing.assert_allclose(s3, s4, rtol=1e-6)
+
+
 def test_recommend_cold_user_above_trained_range():
     """A prebuilt exclusion index sized from max(train_u)+1 must still
     serve valid cold users above the largest trained user (row_ptr pads
