@@ -32,6 +32,9 @@ def main(argv=None):
                         help="training interactions CSV (u,i,rating) whose "
                              "items are excluded per user")
     parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="shard the queried users over an N-device "
+                             "mesh (recommend_sharded; 0 = single device)")
     parser.add_argument("--out", default="recommendations.csv")
     args = parser.parse_args(argv)
 
@@ -48,8 +51,13 @@ def main(argv=None):
         tu, ti, tx = parse_interactions_csv(args.train)
         train = (tu, ti, tx)
 
+    mesh = None
+    if args.mesh_devices:
+        from pmf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
     items, scores = model.recommend(users, k=args.k, train=train,
-                                    batch=args.batch)
+                                    batch=args.batch, mesh=mesh)
     rows = pd.DataFrame({
         "u": np.repeat(users, args.k),
         "rank": np.tile(np.arange(1, args.k + 1), len(users)),

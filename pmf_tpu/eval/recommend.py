@@ -83,6 +83,8 @@ def recommend_sharded(
     train_index=None,
     mesh=None,
     item_bias=None,
+    user_bias=None,
+    mean: float = 0.0,
 ):
     """Mesh-parallel batch top-k: the queried users shard over the mesh's
     leading axis; each device scores its user slice against the
@@ -154,7 +156,14 @@ def recommend_sharded(
 
     vals, idx = _serve(ub_d, lo_d, off_d, cnt_d, theta, beta, item_bias,
                        ti_dev)
-    return np.asarray(idx)[:n].astype(np.int64), np.asarray(vals)[:n]
+    items_out = np.asarray(idx)[:n].astype(np.int64)
+    scores_out = np.asarray(vals)[:n]
+    if mean or user_bias is not None:
+        shift = np.full(n, float(mean), dtype=np.float32)
+        if user_bias is not None:
+            shift = shift + np.asarray(user_bias, np.float32)[users]
+        scores_out = scores_out + shift[:, None]
+    return items_out, scores_out
 
 
 @partial(jax.jit, static_argnames=("cap", "n_rows"))

@@ -289,21 +289,35 @@ class FactorModel:
         return None, None, 0.0
 
     def recommend(self, user_ids, k: int = 10, train=None, batch: int = 1024,
-                  train_index=None):
+                  train_index=None, mesh=None):
         """Top-k unseen-item recommendations per user (the serving path —
         beyond the reference, which only scores explicit pairs).  ``train``:
         optional ratings container whose (u, i) pairs are excluded from the
         candidates; for repeated serving calls pass ``train_index`` from
         `pmf_tpu.eval.recommend.build_exclusion_index` instead (sorts the
-        pairs once, not per request).  Returns (items, scores), each
-        (len(user_ids), k)."""
-        from pmf_tpu.eval.recommend import recommend as _rec
+        pairs once, not per request).  ``mesh``: optional 1-D
+        `jax.sharding.Mesh` — users shard across devices
+        (`recommend_sharded`, zero collectives).  Returns (items, scores),
+        each (len(user_ids), k)."""
+        from pmf_tpu.eval.recommend import (
+            build_exclusion_index,
+            recommend as _rec,
+            recommend_sharded as _rec_sharded,
+        )
 
         theta, beta = self._point_estimates()
         user_bias, item_bias, mean = self._score_offsets()
         tu = ti = None
         if train is not None:
             tu, ti, _ = as_triples(train)
+        if mesh is not None:
+            if train_index is None and tu is not None and len(tu):
+                train_index = build_exclusion_index(
+                    tu, ti, n_users=theta.shape[0])
+            return _rec_sharded(theta, beta, user_ids, k=k,
+                                train_index=train_index, mesh=mesh,
+                                item_bias=item_bias, user_bias=user_bias,
+                                mean=mean)
         return _rec(theta, beta, user_ids, k=k, train_u=tu, train_i=ti,
                     batch=batch, item_bias=item_bias, user_bias=user_bias,
                     mean=mean, train_index=train_index)

@@ -165,6 +165,27 @@ def test_recommend_ranks_with_item_bias(small_splits):
                                    atol=1e-5)
 
 
+def test_model_recommend_mesh_facade(small_splits):
+    """model.recommend(mesh=) routes through recommend_sharded and equals
+    the single-device facade, including the Gaussian bias/mean score
+    shifts."""
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+    from pmf_tpu.parallel import make_mesh
+
+    (tu, ti, tx), _, _ = small_splits
+    mean = float(np.mean(tx))
+    m = GaussianMF(
+        GaussianMFConfig(n_factors=4, max_iter=3, tol=None, verbose=False,
+                         engine="flat")
+    ).fit((tu, ti, tx - mean), global_mean=mean)
+    users = np.arange(13)
+    i1, s1 = m.recommend(users, k=5, train=(tu, ti, tx))
+    i2, s2 = m.recommend(users, k=5, train=(tu, ti, tx),
+                         mesh=make_mesh(8))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
 def test_recommend_sharded_matches_single():
     """Mesh-parallel serving: users sharded over an 8-device mesh must
     return exactly the single-device recommend() results (scores, masks,

@@ -202,6 +202,67 @@ def test_hybrid_dp_tp_hpf(small_splits, mesh2x4):
     _assert_states_match(single.state, hy.state)
 
 
+def test_hybrid_state_sharded_on_model_axis(small_splits, mesh2x4):
+    """Hybrid sweeps must keep state rows sharded over "model" (4 shards)
+    and replicated over "data" — each device holds rows/4, and the two
+    dp replicas of a row shard hold identical data."""
+    from pmf_tpu.models.hpf import HPFConfig, init_state
+    from pmf_tpu.parallel import MODEL_AXIS
+    from pmf_tpu.parallel.tp import (
+        HPF_AXIS_OF,
+        HPF_PAD_ONES,
+        build_tp_layout,
+        pad_state_rows,
+        place_tp,
+        tp_sweep_hpf,
+    )
+
+    (tu, ti, tx), _, _ = small_splits
+    cfg = HPFConfig(n_factors=5, dtype="float64", verbose=False)
+    n_users, n_items = int(tu.max()) + 1, int(ti.max()) + 1
+    layout = build_tp_layout(tu, ti, tx + 1, n_users, n_items, 4, dp=2,
+                             dtype=np.float64)
+    state = pad_state_rows(init_state(n_users, n_items, cfg),
+                           HPF_AXIS_OF, layout.n_users_pad,
+                           layout.n_items_pad, ones_keys=HPF_PAD_ONES)
+    layout, state = place_tp(layout, state, mesh2x4)
+    out = tp_sweep_hpf(state, layout, cfg.a, cfg.a_prime, cfg.b_prime,
+                       cfg.c, cfg.c_prime, cfg.d_prime, mesh=mesh2x4)
+    for k in ("a_theta", "b_theta", "a_beta", "b_beta"):
+        spec = out[k].sharding.spec
+        assert spec and spec[0] == MODEL_AXIS, (k, spec)
+        shard_rows = {s.data.shape[0] for s in out[k].addressable_shards}
+        assert shard_rows == {out[k].shape[0] // 4}, (k, shard_rows)
+        # dp replicas of the same row shard agree bitwise.
+        by_rows = {}
+        for s in out[k].addressable_shards:
+            by_rows.setdefault(s.index[0], []).append(np.asarray(s.data))
+        for reps in by_rows.values():
+            assert len(reps) == 2
+            np.testing.assert_array_equal(reps[0], reps[1])
+
+
+def test_hybrid_checkpoint_resume(small_splits, mesh2x4, tmp_path):
+    """Checkpoints written from hybrid-sharded state resume into the
+    hybrid fit (and match the uninterrupted run)."""
+    from pmf_tpu.models.hpf import HPF, HPFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1), (vu, vi, vx + 1)
+    base = dict(n_factors=4, tol=None, verbose=False, dtype="float64",
+                engine="flat")
+
+    full = HPF(HPFConfig(max_iter=6, **base)).fit(
+        train, val, mesh=mesh2x4, state_sharding="rows")
+    ck = str(tmp_path / "hyck")
+    HPF(HPFConfig(max_iter=3, **base)).fit(
+        train, val, mesh=mesh2x4, state_sharding="rows",
+        checkpoint_dir=ck, checkpoint_every=3)
+    resumed = HPF(HPFConfig(max_iter=3, **base)).fit(
+        train, val, mesh=mesh2x4, state_sharding="rows", resume_from=ck)
+    _assert_states_match(full.state, resumed.state)
+
+
 def test_tp_checkpoint_resume(small_splits, mesh8, tmp_path):
     """Checkpoints written from sharded state resume into the TP fit."""
     from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
