@@ -75,72 +75,31 @@ def exclusion_index_from_coo(data):
     return row_ptr, data.i_by_u
 
 
-def recommend_sharded(
-    theta,
-    beta,
-    user_ids,
-    k: int = 10,
-    train_index=None,
-    mesh=None,
-    item_bias=None,
-    user_bias=None,
-    mean: float = 0.0,
-):
-    """Mesh-parallel batch top-k: the queried users shard over the mesh's
-    leading axis; each device scores its user slice against the
-    replicated factor tables and builds its own exclusion masks — no
-    collectives at all (scores, masks, and top-k are row-local), so
-    serving throughput scales linearly with devices.  Returns the same
-    (items, scores) as `recommend` (equivalence-gated on the CPU mesh,
-    `tests/test_ranking.py`)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _validate_users(users: np.ndarray, n_rows: int) -> None:
+    if len(users) and (users.min() < 0 or users.max() >= n_rows):
+        bad = users[(users < 0) | (users >= n_rows)][:5]
+        raise ValueError(
+            f"user ids out of range [0, {n_rows}): {bad.tolist()}"
+        )
 
-    if mesh is None:
-        raise ValueError("recommend_sharded requires a mesh")
-    axis = mesh.axis_names[0]
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    if len(mesh.axis_names) > 1:
-        raise ValueError("recommend_sharded supports 1-D meshes")
-    theta = jnp.asarray(theta, jnp.float32)
-    beta = jnp.asarray(beta, jnp.float32)
-    item_bias = (
-        jnp.zeros(beta.shape[0], jnp.float32)
-        if item_bias is None
-        else jnp.asarray(item_bias, jnp.float32)
-    )
-    users = np.asarray(user_ids, dtype=np.int64)
-    n = len(users)
-    per = max((n + n_dev - 1) // n_dev, 1)
-    n_pad = per * n_dev
-    users_p = np.concatenate([users, np.zeros(n_pad - n, np.int64)])
 
-    if train_index is not None:
-        row_ptr, ti_dev = train_index
-        if len(row_ptr) - 1 < theta.shape[0]:
-            pad = np.full(theta.shape[0] - (len(row_ptr) - 1), row_ptr[-1],
-                          dtype=row_ptr.dtype)
-            row_ptr = np.concatenate([row_ptr, pad])
-        lo = row_ptr[users_p].astype(np.int32)
-        cnt = (row_ptr[users_p + 1] - row_ptr[users_p]).astype(np.int32)
-        cnt[n:] = 0  # padding users exclude nothing
-        cnt2 = cnt.reshape(n_dev, per)
-        off = np.concatenate(
-            [np.zeros((n_dev, 1), np.int32),
-             np.cumsum(cnt2, axis=1, dtype=np.int32)[:, :-1]], axis=1
-        ).reshape(-1)
-        cap = _round_pow2(max(int(cnt2.sum(axis=1).max()), 1))
-    else:
-        ti_dev = jnp.zeros((1,), jnp.int32)
-        lo = np.zeros(n_pad, np.int32)
-        cnt = np.zeros(n_pad, np.int32)
-        off = np.zeros(n_pad, np.int32)
-        cap = 1
+def _pad_row_ptr(row_ptr: np.ndarray, n_users: int) -> np.ndarray:
+    """A prebuilt index sized from max(train_u)+1 would IndexError on
+    valid cold users above the largest trained user; pad so those users
+    simply have zero exclusions."""
+    if len(row_ptr) - 1 < n_users:
+        pad = np.full(n_users - (len(row_ptr) - 1), row_ptr[-1],
+                      dtype=row_ptr.dtype)
+        row_ptr = np.concatenate([row_ptr, pad])
+    return row_ptr
 
-    shard = NamedSharding(mesh, P(axis))
-    ub_d = jax.device_put(jnp.asarray(users_p, jnp.int32), shard)
-    lo_d = jax.device_put(jnp.asarray(lo), shard)
-    off_d = jax.device_put(jnp.asarray(off), shard)
-    cnt_d = jax.device_put(jnp.asarray(cnt), shard)
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "cap", "per", "k"))
+def _serve_sharded(ub, lo, off, cnt, theta, beta, item_bias, ti_dev, *,
+                   mesh, axis: str, cap: int, per: int, k: int):
+    """One sharded serving batch; module-level jit so repeated requests
+    with the same (mesh, cap, per, k) reuse the compiled executable."""
+    from jax.sharding import PartitionSpec as P
 
     @partial(
         jax.shard_map,
@@ -154,10 +113,95 @@ def recommend_sharded(
         mask_u, mask_i = _device_mask(lo_s, off_s, cnt_s, ti, cap, per)
         return _topk_batch(rows, be, ib, mask_u, mask_i, k)
 
-    vals, idx = _serve(ub_d, lo_d, off_d, cnt_d, theta, beta, item_bias,
-                       ti_dev)
-    items_out = np.asarray(idx)[:n].astype(np.int64)
-    scores_out = np.asarray(vals)[:n]
+    return _serve(ub, lo, off, cnt, theta, beta, item_bias, ti_dev)
+
+
+def recommend_sharded(
+    theta,
+    beta,
+    user_ids,
+    k: int = 10,
+    train_index=None,
+    mesh=None,
+    item_bias=None,
+    user_bias=None,
+    mean: float = 0.0,
+    batch: int = 1024,
+):
+    """Mesh-parallel batch top-k: the queried users shard over the mesh's
+    leading axis; each device scores its user slice against the
+    replicated factor tables and builds its own exclusion masks — no
+    collectives at all (scores, masks, and top-k are row-local), so
+    serving throughput scales linearly with devices.  ``batch`` is the
+    GLOBAL users-per-dispatch (rounded up to the device count; each
+    device scores batch/n_dev rows at a time), bounding per-device score
+    memory exactly like `recommend`'s batch loop.  Returns the same
+    (items, scores) as `recommend` (equivalence-gated on the CPU mesh,
+    `tests/test_ranking.py`)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        raise ValueError("recommend_sharded requires a mesh")
+    if len(mesh.axis_names) > 1:
+        raise ValueError("recommend_sharded supports 1-D meshes")
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    theta = jnp.asarray(theta, jnp.float32)
+    beta = jnp.asarray(beta, jnp.float32)
+    item_bias = (
+        jnp.zeros(beta.shape[0], jnp.float32)
+        if item_bias is None
+        else jnp.asarray(item_bias, jnp.float32)
+    )
+    users = np.asarray(user_ids, dtype=np.int64)
+    _validate_users(users, theta.shape[0])
+    n = len(users)
+    per = max((min(batch, max(n, 1)) + n_dev - 1) // n_dev, 1)
+    B = per * n_dev  # fixed global batch -> one compiled shape
+
+    have_train = train_index is not None
+    if have_train:
+        row_ptr, ti_dev = train_index
+        row_ptr = _pad_row_ptr(row_ptr, theta.shape[0])
+    else:
+        ti_dev = jnp.zeros((1,), jnp.int32)
+    shard = NamedSharding(mesh, P(axis))
+
+    pending = []
+    for s in range(0, max(n, 1), B):
+        e = min(s + B, n)
+        ub = np.zeros(B, np.int64)
+        ub[: e - s] = users[s:e]
+        if have_train:
+            lo = row_ptr[ub].astype(np.int32)
+            cnt = (row_ptr[ub + 1] - row_ptr[ub]).astype(np.int32)
+            cnt[e - s:] = 0  # padding users exclude nothing
+            cnt2 = cnt.reshape(n_dev, per)
+            off = np.concatenate(
+                [np.zeros((n_dev, 1), np.int32),
+                 np.cumsum(cnt2, axis=1, dtype=np.int32)[:, :-1]], axis=1
+            ).reshape(-1)
+            cap = _round_pow2(max(int(cnt2.sum(axis=1).max()), 1))
+        else:
+            lo = np.zeros(B, np.int32)
+            cnt = np.zeros(B, np.int32)
+            off = np.zeros(B, np.int32)
+            cap = 1
+        out = _serve_sharded(
+            jax.device_put(jnp.asarray(ub, jnp.int32), shard),
+            jax.device_put(jnp.asarray(lo), shard),
+            jax.device_put(jnp.asarray(off), shard),
+            jax.device_put(jnp.asarray(cnt), shard),
+            theta, beta, item_bias, ti_dev,
+            mesh=mesh, axis=axis, cap=cap, per=per, k=k,
+        )
+        pending.append((s, e, out))
+
+    items_out = np.empty((n, k), dtype=np.int64)
+    scores_out = np.empty((n, k), dtype=np.float32)
+    for s, e, (vals, idx) in pending:
+        items_out[s:e] = np.asarray(idx)[: e - s]
+        scores_out[s:e] = np.asarray(vals)[: e - s]
     if mean or user_bias is not None:
         shift = np.full(n, float(mean), dtype=np.float32)
         if user_bias is not None:
@@ -207,11 +251,7 @@ def recommend(
     theta = jnp.asarray(theta, jnp.float32)
     beta = jnp.asarray(beta, jnp.float32)
     users = np.asarray(user_ids, dtype=np.int64)
-    if len(users) and (users.min() < 0 or users.max() >= theta.shape[0]):
-        bad = users[(users < 0) | (users >= theta.shape[0])][:5]
-        raise ValueError(
-            f"user ids out of range [0, {theta.shape[0]}): {bad.tolist()}"
-        )
+    _validate_users(users, theta.shape[0])
     item_bias = (
         jnp.zeros(beta.shape[0], jnp.float32)
         if item_bias is None
@@ -225,13 +265,7 @@ def recommend(
     have_train = train_index is not None
     if have_train:
         row_ptr, ti_dev = train_index
-        if len(row_ptr) - 1 < theta.shape[0]:
-            # A prebuilt index sized from max(train_u)+1 would IndexError on
-            # valid cold users above the largest trained user; pad so those
-            # users simply have zero exclusions.
-            pad = np.full(theta.shape[0] - (len(row_ptr) - 1), row_ptr[-1],
-                          dtype=row_ptr.dtype)
-            row_ptr = np.concatenate([row_ptr, pad])
+        row_ptr = _pad_row_ptr(row_ptr, theta.shape[0])
         lo_all = row_ptr[users]
         cnt_all = row_ptr[users + 1] - lo_all
 

@@ -317,7 +317,7 @@ class FactorModel:
             return _rec_sharded(theta, beta, user_ids, k=k,
                                 train_index=train_index, mesh=mesh,
                                 item_bias=item_bias, user_bias=user_bias,
-                                mean=mean)
+                                mean=mean, batch=batch)
         return _rec(theta, beta, user_ids, k=k, train_u=tu, train_i=ti,
                     batch=batch, item_bias=item_bias, user_bias=user_bias,
                     mean=mean, train_index=train_index)

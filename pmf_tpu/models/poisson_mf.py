@@ -420,6 +420,7 @@ class PoissonMF(FactorModel):
             POISSON_EXT_AXIS_OF,
             POISSON_PAD_ONES,
             build_tp_layout,
+            describe_tp,
             dp_degree,
             pad_state_rows,
             place_tp,
@@ -434,10 +435,7 @@ class PoissonMF(FactorModel):
         self.n_items = int(i.max()) + 1
         if cfg.verbose:
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items} "
-                  f"(TP ring {tp_degree(mesh)}"
-                  + (f" x DP {dp_degree(mesh)}" if dp_degree(mesh) > 1
-                     else "")
-                  + ")", flush=True)
+                  f"{describe_tp(mesh)}", flush=True)
         layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
                                  tp_degree(mesh), dtype=self._dtype,
                                  dp=dp_degree(mesh))

@@ -93,6 +93,13 @@ def dp_degree(mesh) -> int:
     return 1
 
 
+def describe_tp(mesh) -> str:
+    """Human-readable mesh role string for the models' verbose prints."""
+    dp = dp_degree(mesh)
+    return (f"(TP ring {tp_degree(mesh)}"
+            + (f" x DP {dp}" if dp > 1 else "") + ")")
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[

@@ -221,6 +221,22 @@ def test_recommend_sharded_matches_single():
     np.testing.assert_array_equal(it3, it4)
     np.testing.assert_allclose(s3, s4, rtol=1e-6)
 
+    # Batched dispatch (batch < n, last batch partial) is identical —
+    # the batch loop bounds per-device score memory like recommend's.
+    it5, s5 = recommend_sharded(theta, beta, users, k=7, train_index=idx,
+                                mesh=mesh, item_bias=bias, batch=32)
+    np.testing.assert_array_equal(it1, it5)
+    np.testing.assert_allclose(s1, s5, rtol=1e-6)
+
+    # Out-of-range ids raise like the single-device path (not silently
+    # clamp to another user's rows).
+    import pytest
+
+    for bad in ([-1], [nu]):
+        with pytest.raises(ValueError, match="out of range"):
+            recommend_sharded(theta, beta, bad, k=7, train_index=idx,
+                              mesh=mesh)
+
 
 def test_recommend_cold_user_above_trained_range():
     """A prebuilt exclusion index sized from max(train_u)+1 must still
