@@ -327,7 +327,7 @@ def bench_gaussian(u, i, x, n_users, n_items, nnz, K, iters, rtt,
     hybrid = build_blocked(u, i, x, n_users=n_users, n_items=n_items,
                            block_users=block, block_items=block,
                            chunk_size=chunk, group=group, reorder=True,
-                           head="auto", head_bytes=3 << 30,
+                           head="auto", head_bytes=15 << 28,  # 3.75 GiB opt
                            tail_group_cap=group)
 
     out = {"updates_per_sec_4block": None, "updates_per_sec_factor_only": None,

@@ -626,9 +626,12 @@ class GaussianMF(FactorModel):
                                     block_users=bs, block_items=bs,
                                     chunk_size=cs, group=grp, head="auto",
                                     # centered ratings carry an x_lo plane
-                                    # (6 B/cell); match the Poisson
-                                    # family's ~536M-cell budget
-                                    head_bytes=3 << 30,
+                                    # (6 B/cell); 3.75 GiB matches the
+                                    # Poisson family's 2.5 GiB CELL count
+                                    # and is the measured optimum (358M
+                                    # high / 620M mid-lagged vs 351/596
+                                    # at 3 GiB; scan_gaussian_head.py)
+                                    head_bytes=15 << 28,
                                     tail_group_cap=cap,
                                     head_row_mult=mesh.devices.size if mesh else 1)
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
@@ -694,6 +697,7 @@ class GaussianMF(FactorModel):
             build_tp_layout,
             describe_tp,
             dp_degree,
+            host_staging,
             pad_state_rows,
             place_tp,
             slice_state_rows,

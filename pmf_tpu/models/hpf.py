@@ -414,6 +414,7 @@ class HPF(FactorModel):
             build_tp_layout,
             describe_tp,
             dp_degree,
+            host_staging,
             pad_state_rows,
             place_tp,
             slice_state_rows,

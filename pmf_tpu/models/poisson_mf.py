@@ -422,6 +422,7 @@ class PoissonMF(FactorModel):
             build_tp_layout,
             describe_tp,
             dp_degree,
+            host_staging,
             pad_state_rows,
             place_tp,
             slice_state_rows,

@@ -214,17 +214,35 @@ def build_tp_layout(u, i, x, n_users: int, n_items: int, n_devices: int,
     np.add.at(uc, u, 1.0)
     np.add.at(ic, i, 1.0)
 
+    # Arrays stay HOST-side (numpy) here; `place_tp` device_puts each
+    # shard directly to its device — the full layout never materializes
+    # on a single accelerator (TP's whole point is beyond-one-chip state).
     return TPLayout(
-        u_loc_by_u=jnp.asarray(ul_u), i_loc_by_u=jnp.asarray(il_u),
-        x_by_u=jnp.asarray(x_u),
-        i_loc_by_i=jnp.asarray(il_i), u_loc_by_i=jnp.asarray(ul_i),
-        x_by_i=jnp.asarray(x_i),
-        user_counts=jnp.asarray(uc), item_counts=jnp.asarray(ic),
+        u_loc_by_u=ul_u, i_loc_by_u=il_u,
+        x_by_u=x_u,
+        i_loc_by_i=il_i, u_loc_by_i=ul_i,
+        x_by_i=x_i,
+        user_counts=uc, item_counts=ic,
         n_users=n_users, n_items=n_items,
         n_users_pad=n_users_pad, n_items_pad=n_items_pad,
         users_per=users_per, items_per=items_per,
         n_devices=D, nnz=int(u.shape[0]), n_dp=int(dp),
     )
+
+
+def host_staging():
+    """Context manager staging array creation on the host CPU backend, so
+    the padded FULL state from `init_state`/`pad_state_rows` never
+    materializes on one accelerator before `place_tp` shards it (TP
+    exists precisely for state larger than one chip's HBM).  No-op when
+    no CPU backend is registered."""
+    import contextlib
+
+    try:
+        dev = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return contextlib.nullcontext()
+    return jax.default_device(dev)
 
 
 def pad_state_rows(state: dict, axis_of: dict, n_users_pad: int,
@@ -279,9 +297,12 @@ def _ring(tables: tuple, buckets: tuple, accs: tuple, body, D: int,
           axis: str = DATA_AXIS, reduce_axis: str | None = None):
     """Run D ring steps: consume bucket s against the visiting tables,
     then rotate the tables one hop (device d receives from d+1, so at
-    step s it holds shard (d+s) % D — matching the bucket build).  With
-    ``reduce_axis`` (hybrid DP x TP), each replica consumed only its edge
-    split, so the accumulators psum over that axis before returning."""
+    step s it holds shard (d+s) % D — matching the bucket build).  The
+    final step consumes WITHOUT rotating — the D-th rotation's output
+    would be discarded, and on a real ring that is a full extra table
+    hop over ICI per pass.  With ``reduce_axis`` (hybrid DP x TP), each
+    replica consumed only its edge split, so the accumulators psum over
+    that axis before returning."""
     perm = [(j, (j - 1) % D) for j in range(D)]
 
     def step(carry, xs):
@@ -292,7 +313,11 @@ def _ring(tables: tuple, buckets: tuple, accs: tuple, body, D: int,
         )
         return (tabs, accs), None
 
-    (_, accs), _ = jax.lax.scan(step, (tables, accs), buckets)
+    if D > 1:
+        head = jax.tree_util.tree_map(lambda b: b[: D - 1], buckets)
+        (tables, accs), _ = jax.lax.scan(step, (tables, accs), head)
+    last = jax.tree_util.tree_map(lambda b: b[D - 1], buckets)
+    accs = body(tables, last, accs)
     if reduce_axis is not None:
         accs = tuple(jax.lax.psum(a, reduce_axis) for a in accs)
     return accs
@@ -536,7 +561,9 @@ def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
             return {"a_theta": a_t, "b_theta": b_t,
                     "a_beta": a_b, "b_beta": b_b}
 
-        E_phi = st["a_phi"] / st["b_phi"]
+        # Only E_psi enters the user-side block; the user block's own
+        # scalars (phi) update within it and the fresh E_phi feeds the
+        # item block.
         E_psi = st["a_psi"] / st["b_psi"]
 
         def ext_block(E_self, E_other, s_other, self_loc, other_loc, xs,

@@ -33,13 +33,16 @@ def _transitions(block_ids) -> int:
 
 def blocked_pass_traffic(p, w_gather_other: int, w_gather_self: int,
                          w_scatter: int, w_out_f32: int,
-                         edge_payload_bytes: int = 8) -> dict:
+                         edge_payload_bytes: int = 8,
+                         parts: int = 1) -> dict:
     """One edge pass over a BlockedPass.
 
     ``w_*`` are bf16 part-column widths of the one-hot matmuls
     (0 = the kernel skips that product); ``w_out_f32`` the f32 statistic
     columns written per self row; ``edge_payload_bytes`` per-edge stream
-    bytes (packed loc int32 + rating f32 = 8)."""
+    bytes (packed loc int32 + rating f32 = 8); ``parts`` the bf16 parts
+    per f32 source column (w / parts = f32 source width, used to count
+    the table-build state reads)."""
     edges = p.n_chunks * p.chunk_size
     t_other = _transitions(p.chunk_other_block)
     bytes_edges = edges * edge_payload_bytes
@@ -47,9 +50,12 @@ def blocked_pass_traffic(p, w_gather_other: int, w_gather_self: int,
         t_other * p.bs_other * w_gather_other * 2
         + p.n_self_blocks * p.bs_self * w_gather_self * 2
     )
-    # Table build: read (rows, K) f32 state, write bf16 part tables.
-    bytes_build = p.n_other * (w_gather_other * 2) + p.n_self * (
-        w_gather_self * 2)
+    # Table build: write bf16 part tables + read the f32 source state
+    # (w / parts f32 columns per row).
+    bf16_writes = (p.n_other * w_gather_other + p.n_self * w_gather_self) * 2
+    f32_reads = (p.n_other * w_gather_other + p.n_self * w_gather_self) * 4 \
+        // max(parts, 1)
+    bytes_build = bf16_writes + f32_reads
     bytes_out = p.n_self_blocks * p.bs_self * w_out_f32 * 4
     macs = edges * (
         p.bs_other * w_gather_other
@@ -70,14 +76,15 @@ def head_traffic(head, K: int, planes: int, passes: int) -> dict:
     """Dense-head cell-plane traffic per iteration: ``planes`` bf16
     (hu, hip) arrays read ``passes`` times (user-side products + the
     transposed item-side products re-scan the same arrays), plus the
-    head-row factor tables.  MACs: each pass contracts every cell against
-    ~K-wide payloads."""
+    head-row factor tables (~K f32 columns per head row per pass).
+    MACs: each pass contracts every cell against ~K-wide payloads."""
     if not head:
         return {"bytes": 0, "macs": 0, "cells": 0}
     tiers = head if isinstance(head, (tuple, list)) else (head,)
     cells = sum(int(t.hu) * int(t.m.shape[1]) for t in tiers)
+    table_rows = sum(int(t.hu) + int(t.m.shape[1]) for t in tiers)
     return {
-        "bytes": cells * planes * 2 * passes,
+        "bytes": cells * planes * 2 * passes + table_rows * K * 4 * passes,
         "macs": cells * K * planes * passes,
         "cells": cells,
     }
@@ -90,8 +97,11 @@ def hpf_blocked_traffic(layout, K: int, precision: str = "high") -> dict:
     out = {}
     total_b = total_m = 0
     for name, p in (("theta", layout.by_user), ("beta", layout.by_item)):
+        # Scatter payload is [alloc parts | g_other parts] = 2*parts*K
+        # bf16 columns (`cavi_edge._kernel`).
         t = blocked_pass_traffic(p, w_gather_other=w, w_gather_self=w,
-                                 w_scatter=parts and 2 * K, w_out_f32=2 * K)
+                                 w_scatter=2 * parts * K, w_out_f32=2 * K,
+                                 parts=parts)
         out[name] = t
         total_b += t["bytes"]
         total_m += t["macs"]
@@ -118,7 +128,8 @@ def gaussian_blocked_traffic(layout, K: int, precision: str = "high",
     total_b = total_m = 0
     for name, p in (("theta", layout.by_user), ("beta", layout.by_item)):
         t = blocked_pass_traffic(p, w_gather_other=w_gather, w_gather_self=0,
-                                 w_scatter=w_scatter, w_out_f32=w_out)
+                                 w_scatter=w_scatter, w_out_f32=w_out,
+                                 parts=parts_w)
         out[name] = t
         total_b += t["bytes"]
         total_m += t["macs"]
@@ -127,7 +138,7 @@ def gaussian_blocked_traffic(layout, K: int, precision: str = "high",
         for name, p in (("b_user", layout.by_user), ("b_item", layout.by_item)):
             t = blocked_pass_traffic(p, w_gather_other=w_bias,
                                      w_gather_self=0, w_scatter=w_bias,
-                                     w_out_f32=4)
+                                     w_out_f32=4, parts=parts_w)
             out[name] = t
             total_b += t["bytes"]
             total_m += t["macs"]
