@@ -720,11 +720,15 @@ class GaussianMF(FactorModel):
                                  dp=dp_degree(mesh))
         # TP checkpoints carry mesh-padded row counts; restore against the
         # padded default (cross-mode resume would need a repad, unsupported).
-        state = self._initial_state(
-            pad_state_rows(init_state(self.n_users, self.n_items, cfg),
-                           GAUSSIAN_AXIS_OF, layout.n_users_pad,
-                           layout.n_items_pad),
-            resume_from)
+        # host_staging: the full padded state exists only on the host CPU
+        # until place_tp shards it row-wise — TP exists for state bigger
+        # than one chip's HBM, so it must never land whole on a device.
+        with host_staging():
+            state = self._initial_state(
+                pad_state_rows(init_state(self.n_users, self.n_items, cfg),
+                               GAUSSIAN_AXIS_OF, layout.n_users_pad,
+                               layout.n_items_pad),
+                resume_from)
         layout, state = place_tp(layout, state, mesh)
 
         sweep_tp = jax.jit(

@@ -432,11 +432,14 @@ class HPF(FactorModel):
         layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
                                  tp_degree(mesh), dtype=self._dtype,
                                  dp=dp_degree(mesh))
-        state = self._initial_state(
-            pad_state_rows(init_state(self.n_users, self.n_items, cfg),
-                           HPF_AXIS_OF, layout.n_users_pad,
-                           layout.n_items_pad, ones_keys=HPF_PAD_ONES),
-            resume_from)
+        # host_staging: full padded state stays on the host CPU until
+        # place_tp shards it (TP exists for beyond-one-chip state).
+        with host_staging():
+            state = self._initial_state(
+                pad_state_rows(init_state(self.n_users, self.n_items, cfg),
+                               HPF_AXIS_OF, layout.n_users_pad,
+                               layout.n_items_pad, ones_keys=HPF_PAD_ONES),
+                resume_from)
         layout, state = place_tp(layout, state, mesh)
         hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime,
                  cfg.d_prime)

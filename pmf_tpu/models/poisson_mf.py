@@ -441,11 +441,14 @@ class PoissonMF(FactorModel):
                                  tp_degree(mesh), dtype=self._dtype,
                                  dp=dp_degree(mesh))
         axis_of = POISSON_EXT_AXIS_OF if cfg.extended else POISSON_AXIS_OF
-        state = self._initial_state(
-            pad_state_rows(init_state(self.n_users, self.n_items, cfg),
-                           axis_of, layout.n_users_pad,
-                           layout.n_items_pad, ones_keys=POISSON_PAD_ONES),
-            resume_from)
+        # host_staging: full padded state stays on the host CPU until
+        # place_tp shards it (TP exists for beyond-one-chip state).
+        with host_staging():
+            state = self._initial_state(
+                pad_state_rows(init_state(self.n_users, self.n_items, cfg),
+                               axis_of, layout.n_users_pad,
+                               layout.n_items_pad, ones_keys=POISSON_PAD_ONES),
+                resume_from)
         layout, state = place_tp(layout, state, mesh)
         sweep_tp = jax.jit(
             lambda s, lo: tp_sweep_poisson(s, lo, cfg.a0, cfg.b0,
