@@ -285,3 +285,27 @@ def test_tp_checkpoint_resume(small_splits, mesh8, tmp_path):
         train, val, global_mean=mean, mesh=mesh8, state_sharding="rows",
         resume_from=ck)
     _assert_states_match(full.state, resumed.state)
+
+
+def test_tp_layout_stays_host_side():
+    """build_tp_layout must return HOST (numpy) arrays: place_tp
+    device_puts each shard directly, and the full beyond-one-chip state
+    must never materialize whole on a single accelerator."""
+    from pmf_tpu.parallel.tp import build_tp_layout, host_staging
+
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, 40, 300).astype(np.int32)
+    i = rng.integers(0, 30, 300).astype(np.int32)
+    x = rng.random(300).astype(np.float32)
+    layout = build_tp_layout(u, i, x, 40, 30, 4)
+    for name in ("u_loc_by_u", "i_loc_by_u", "x_by_u", "i_loc_by_i",
+                 "u_loc_by_i", "x_by_i", "user_counts", "item_counts"):
+        assert isinstance(getattr(layout, name), np.ndarray), name
+
+    # host_staging routes jnp array creation to the CPU backend.
+    import jax
+    import jax.numpy as jnp
+
+    with host_staging():
+        z = jnp.zeros(8)
+    assert z.devices() == {jax.local_devices(backend="cpu")[0]}
