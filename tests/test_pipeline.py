@@ -149,3 +149,43 @@ def test_recipe_id_map_canonical_schema(tmp_path):
     assert len(id_map) == len(dict_i)
     for _, row in dict_i.head(20).iterrows():
         assert id_map[int(row["i"])] == int(row["recipe_id"])
+
+
+def test_unzip_files(tmp_path):
+    """D2 (`src/unzip_data.py:8-20`): every *.zip in raw_dir extracts in
+    place; non-zip files are left alone."""
+    import zipfile
+
+    from pmf_tpu.data.pipeline import unzip_files
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    with zipfile.ZipFile(raw / "a.zip", "w") as zf:
+        zf.writestr("interactions_train.csv", "user_id,recipe_id,rating\n")
+    with zipfile.ZipFile(raw / "b.zip", "w") as zf:
+        zf.writestr("PP_recipes.csv", "id,i\n")
+    (raw / "notes.txt").write_text("not a zip")
+
+    unzip_files(str(raw))
+
+    assert (raw / "interactions_train.csv").read_text().startswith("user_id")
+    assert (raw / "PP_recipes.csv").exists()
+    assert (raw / "notes.txt").read_text() == "not a zip"
+
+
+def test_download_dataset_invokes_kaggle_cli(tmp_path, monkeypatch):
+    """D1 (`src/download_data.py:20-44`): shells out to the kaggle CLI
+    with the reference's dataset slug, creating raw_dir first."""
+    import subprocess as sp
+
+    from pmf_tpu.data import pipeline
+
+    calls = []
+    monkeypatch.setattr(sp, "run", lambda cmd, check: calls.append((cmd, check)))
+    raw = tmp_path / "raw" / "nested"
+    pipeline.download_dataset(str(raw))
+    assert raw.is_dir()
+    (cmd, check), = calls
+    assert check is True
+    assert cmd[:4] == ["kaggle", "datasets", "download", "-d"]
+    assert cmd[4] == pipeline.DATASET and cmd[-1] == str(raw)
