@@ -44,9 +44,77 @@ def _plot(ks, values, ylabel, path):
     plt.close(fig)
 
 
-def sweep(model_name, train_df, val_df, ks, max_iter=30, verbose=False):
+def _seed_metrics(model_name, cfg, stacked, n_seeds, val_df, n_users, n_items,
+                  mean=0.0):
+    """Per-seed val RMSE / LPL from a vmapped multi-seed state stack."""
+    vu = val_df["u"].to_numpy()
+    vi = val_df["i"].to_numpy()
+    vx = val_df["rating"].to_numpy()
+    valid = (vu < n_users) & (vi < n_items)
+    out = []
+    for s in range(n_seeds):
+        if model_name == "gaussian":
+            theta = np.asarray(stacked["m_theta"][s])
+            beta = np.asarray(stacked["m_beta"][s])
+            pred = np.zeros(len(vu))
+            pred[valid] = np.sum(theta[vu[valid]] * beta[vi[valid]], axis=1)
+            rmse_s = float(np.sqrt(np.mean((vx - pred) ** 2)))
+            lpl = gaussian_log_predictive_likelihood(
+                vx[valid], pred[valid], np.sqrt(cfg.sigma2))
+        else:  # poisson / hpf_cavi: Gamma-mean rates
+            theta = np.asarray(stacked["a_theta"][s] / stacked["b_theta"][s])
+            beta = np.asarray(stacked["a_beta"][s] / stacked["b_beta"][s])
+            lam = np.zeros(len(vu))
+            lam[valid] = np.sum(theta[vu[valid]] * beta[vi[valid]], axis=1)
+            rmse_s = float(np.sqrt(np.mean((vx - lam) ** 2)))
+            lpl = poisson_log_predictive_likelihood(vx[valid], lam[valid])
+        out.append({"seed": s, "val_rmse": rmse_s, "val_lpl": float(lpl)})
+    return out
+
+
+def sweep(model_name, train_df, val_df, ks, max_iter=30, verbose=False,
+          seeds: int = 1):
+    """``seeds > 1``: per K, fit all seeds SIMULTANEOUSLY in one vmapped
+    program (`pmf_tpu.tune.multi_seed`) — BASELINE config #4's "best-K
+    sweep vmapped across seeds" (the reference loops one unseeded fit per
+    K, `run_gaussian_mf_best_k.py:27-71`).  Selection uses the MEAN val
+    LPL across seeds; per-seed numbers ride in each row."""
+    from pmf_tpu.tune.multi_seed import multi_seed_fit
+
     rows = []
     for K in ks:
+        if seeds > 1:
+            if model_name == "gaussian":
+                train_c, val_c, mean = center(train_df, val_df)
+                cfg = GaussianMFConfig(
+                    n_factors=K, sigma2=2.0, eta_theta2=0.05, eta_beta2=0.05,
+                    max_iter=max_iter, tol=1e-3, use_bias=False, verbose=verbose)
+                tr, va = train_c, val_c
+            elif model_name == "poisson":
+                cfg = PoissonMFConfig(n_factors=K, max_iter=max_iter, tol=1e-4,
+                                      verbose=verbose)
+                tr, va = train_df, val_df
+            else:  # hpf_cavi — reference quirk: no +1 shift in best-K
+                cfg = HPFConfig(n_factors=K, max_iter=max_iter, tol=1e-4,
+                                verbose=verbose)
+                tr, va = train_df, val_df
+            stacked, _ = multi_seed_fit(cfg, tr, va, seeds=tuple(range(seeds)),
+                                        n_iter=max_iter)
+            n_users = int(tr["u"].max()) + 1
+            n_items = int(tr["i"].max()) + 1
+            per_seed = _seed_metrics(model_name, cfg, stacked, seeds, va,
+                                     n_users, n_items)
+            row = {
+                "K": K,
+                "val_rmse": float(np.mean([m["val_rmse"] for m in per_seed])),
+                "val_lpl": float(np.mean([m["val_lpl"] for m in per_seed])),
+                "per_seed": per_seed,
+            }
+            rows.append(row)
+            print(f"K={K}: mean val RMSE {row['val_rmse']:.4f} | mean val LPL "
+                  f"{row['val_lpl']:.1f} (over {seeds} vmapped seeds)",
+                  flush=True)
+            continue
         if model_name == "gaussian":
             train_c, val_c, mean = center(train_df, val_df)
             cfg = GaussianMFConfig(
@@ -92,13 +160,18 @@ def main(argv=None):
     parser.add_argument("--k_max", type=int, default=60)
     parser.add_argument("--k_step", type=int, default=2)
     parser.add_argument("--max_iter", type=int, default=30)
+    parser.add_argument("--seeds", type=int, default=1,
+                        help="fit N seeds per K in one vmapped program and "
+                             "select by mean val LPL")
     add_data_args(parser)
     args = parser.parse_args(argv)
 
     train_df, val_df, _ = get_splits(args)
     ks = list(range(args.k_min, args.k_max + 1, args.k_step))
-    print_header(f"best-K sweep: {args.model}, K in {ks[0]}..{ks[-1]}")
-    rows = sweep(args.model, train_df, val_df, ks, max_iter=args.max_iter)
+    print_header(f"best-K sweep: {args.model}, K in {ks[0]}..{ks[-1]}"
+                 + (f", {args.seeds} vmapped seeds/K" if args.seeds > 1 else ""))
+    rows = sweep(args.model, train_df, val_df, ks, max_iter=args.max_iter,
+                 seeds=args.seeds)
 
     best = max(rows, key=lambda r: r["val_lpl"])
     print(f"\nBest K by val LPL: {best['K']} (LPL {best['val_lpl']:.1f})")

@@ -87,6 +87,9 @@ def main(argv=None):
     parser.add_argument("--plot", default="model_comparison_plots.png")
     parser.add_argument("--params_out", default="model_comparison_params.txt")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--elbo", type=int, default=0, metavar="N",
+                        help="record the ELBO every N iterations for the "
+                             "CAVI models (0 = off)")
     parser.add_argument("--ranking", action="store_true",
                         help="also compute test recall@10 / NDCG@10 "
                              "(beyond the reference's metric set)")
@@ -115,6 +118,7 @@ def main(argv=None):
         configs_used[display] = config
         try:
             res = run_model(run_name, train_df, val_df, test_df, config=config,
+                            elbo_every=args.elbo,
                             verbose=args.verbose, mesh=mesh)
             model = res.pop("_model", None)
             res["model"] = display

@@ -58,11 +58,15 @@ DEFAULTS = {
 
 
 def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=True,
-              profile_dir=None, mesh=None):
+              profile_dir=None, mesh=None, elbo_every: int = 0):
     """Train one model with its reference preprocessing; return metrics.
 
     ``profile_dir``: capture the whole fit as a jax.profiler trace
-    (TensorBoard-viewable).  ``mesh``: run the fit multi-chip."""
+    (TensorBoard-viewable).  ``mesh``: run the fit multi-chip.
+    ``elbo_every=N``: CAVI families record their ELBO in fit_history every
+    N iterations (and the Gaussian gate asserts monotone ascent); the
+    final ELBO lands in the result dict.  Ignored for hpf_map (an MAP
+    path has no variational objective)."""
     import dataclasses as _dc
 
     # Never mutate the shared DEFAULTS instances (ADVICE r1).
@@ -74,7 +78,8 @@ def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=T
         model = GaussianMF(config)
         with Timer() as t:
             model.fit(train_c, val_c, global_mean=mean,
-                      profile_dir=profile_dir, mesh=mesh)
+                      profile_dir=profile_dir, mesh=mesh,
+                      elbo_every=elbo_every)
         for split, df in (("train", train_c), ("val", val_c), ("test", test_c)):
             results[f"{split}_rmse"] = model.evaluate_rmse(df, global_mean=mean)
             results[f"{split}_macro_mae"] = model.evaluate_macro_mae(df, global_mean=mean)
@@ -82,7 +87,8 @@ def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=T
         assert (train_df["rating"] >= 0).all(), "Poisson models need non-negative ratings"
         model = PoissonMF(config)
         with Timer() as t:
-            model.fit(train_df, val_df, profile_dir=profile_dir, mesh=mesh)
+            model.fit(train_df, val_df, profile_dir=profile_dir, mesh=mesh,
+                      elbo_every=elbo_every)
         for split, df in (("train", train_df), ("val", val_df), ("test", test_df)):
             results[f"{split}_rmse"] = model.evaluate_rmse(df)
             results[f"{split}_macro_mae"] = model.evaluate_macro_mae(df)
@@ -91,7 +97,11 @@ def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=T
         tr, va, te = shift(train_df, 1), shift(val_df, 1), shift(test_df, 1)
         model = (HPF if model_name == "hpf_cavi" else HPFMap)(config)
         with Timer() as t:
-            model.fit(tr, va, profile_dir=profile_dir, mesh=mesh)
+            if model_name == "hpf_cavi":
+                model.fit(tr, va, profile_dir=profile_dir, mesh=mesh,
+                          elbo_every=elbo_every)
+            else:
+                model.fit(tr, va, profile_dir=profile_dir, mesh=mesh)
         for split, df0, df1 in (("train", train_df, tr), ("val", val_df, va), ("test", test_df, te)):
             preds = model.predict(df1["u"].to_numpy(), df1["i"].to_numpy()) - 1.0
             y = df0["rating"].to_numpy()
@@ -101,6 +111,10 @@ def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=T
         raise ValueError(f"unknown model {model_name}")
 
     results["fit_seconds"] = t.seconds
+    if elbo_every and model.fit_history:
+        elbos = [h["elbo"] for h in model.fit_history if "elbo" in h]
+        if elbos:
+            results["final_elbo"] = elbos[-1]
     results["_model"] = model
     return results
 
@@ -120,6 +134,9 @@ def main(argv=None):
     parser.add_argument("--bias_update", choices=["exact", "lagged"],
                         help="Gaussian bias-block mode (lagged: bias stats "
                              "ride the factor passes; same fixed point)")
+    parser.add_argument("--elbo", type=int, default=0, metavar="N",
+                        help="record the ELBO every N iterations in "
+                             "fit_history (CAVI models; 0 = off)")
     add_data_args(parser)
     args = parser.parse_args(argv)
 
@@ -146,13 +163,16 @@ def main(argv=None):
 
         mesh = make_mesh(args.mesh_devices)
     res = run_model(args.model, train_df, val_df, test_df, config=config,
-                    profile_dir=args.profile_dir, mesh=mesh)
+                    profile_dir=args.profile_dir, mesh=mesh,
+                    elbo_every=args.elbo)
     for split in ("train", "val", "test"):
         print(
             f"{split:>5} RMSE {res[f'{split}_rmse']:.4f} | "
             f"macro-MAE {res[f'{split}_macro_mae']:.4f}"
         )
     print(f"fit time: {res['fit_seconds']:.1f}s")
+    if "final_elbo" in res:
+        print(f"final ELBO: {res['final_elbo']:.6g}")
     return res
 
 

@@ -136,6 +136,108 @@ def synth_foodcom_raw(
     }
 
 
+def synth_planted(
+    n_users: int,
+    n_items: int,
+    n_ratings: int,
+    K_true: int = 8,
+    seed: int = 0,
+    noise: float = 0.45,
+    mu: float = 3.4,
+    bias_scale: float = 0.40,
+    factor_var: float = 0.55,
+):
+    """Zipf-sampled (u, i) pairs whose ratings come from a PLANTED
+    bias + low-rank model, rounded and clipped to the 0-5 star scale:
+
+        x_ui = clip(round(mu + b_u + c_i + theta_u . beta_i + eps), 0, 5)
+
+    Unlike :func:`synth_ratings` (i.i.d. ratings — nothing to learn
+    beyond the marginal), this gives converged-quality runs a real
+    signal: a factor model can drive test RMSE toward the generative
+    floor  sqrt(noise^2 + 1/12-ish rounding variance)  while a
+    bias-only predictor plateaus ~sqrt(floor^2 + factor_var) higher.
+    Defaults keep mu ~3.3 sigma from the clip edges (a 4+ mu saturates
+    the 5-star bin and erases most of the planted variance) with an
+    ML-25M-like overall rating spread (~std 1.0 around 3.4).  Used by the
+    ML-25M-scale converged benchmark (`scripts/converged_ml25m.py`),
+    closing the "epochs-to-target test RMSE" half of the BASELINE
+    metric (the reference's converged quality table is
+    `/root/reference/reports/forecast_metrics.csv`).
+
+    Returns (u, i, x, floor_rmse) with x float64 in {0..5}."""
+    rng = np.random.default_rng(seed)
+
+    iw = (1.0 + np.arange(n_items)) ** -1.0
+    iw /= iw.sum()
+    uw = (1.0 + np.arange(n_users)) ** -0.7
+    uw /= uw.sum()
+    n_draw = int(n_ratings * 1.25) + n_users + n_items
+    u = rng.choice(n_users, size=n_draw, p=uw)
+    i = rng.choice(n_items, size=n_draw, p=iw)
+    u[:n_users] = np.arange(n_users)
+    i[:n_users] = rng.integers(0, n_items, size=n_users)
+    u[n_users : n_users + n_items] = rng.integers(0, n_users, size=n_items)
+    i[n_users : n_users + n_items] = np.arange(n_items)
+
+    key = u.astype(np.int64) * n_items + i
+    _, first = np.unique(key, return_index=True)
+    first.sort()
+    first = first[:n_ratings]
+    u, i = u[first].astype(np.int64), i[first].astype(np.int64)
+
+    b_u = (bias_scale * rng.standard_normal(n_users)).astype(np.float32)
+    c_i = (bias_scale * rng.standard_normal(n_items)).astype(np.float32)
+    # var(theta_u . beta_i) = K * var(theta_k) * var(beta_k) = K * sf^4
+    # for independent N(0, sf^2) entries -> sf = (factor_var / K)^(1/4).
+    sf = (factor_var / K_true) ** 0.25
+    theta = (sf * rng.standard_normal((n_users, K_true))).astype(np.float32)
+    beta = (sf * rng.standard_normal((n_items, K_true))).astype(np.float32)
+
+    raw = (
+        mu
+        + b_u[u]
+        + c_i[i]
+        + np.einsum("ek,ek->e", theta[u], beta[i])
+        + noise * rng.standard_normal(len(u)).astype(np.float32)
+    )
+    x = np.clip(np.rint(raw), 0.0, 5.0).astype(np.float64)
+    # Generative-floor estimate: RMSE of the oracle predictor E[x | u, i]
+    # is bounded below by the noise+rounding spread (clipping shrinks it
+    # slightly at the scale edges); report the unclipped analytic value.
+    floor_rmse = float(np.sqrt(noise**2 + 1.0 / 12.0))
+
+    order = rng.permutation(len(u))
+    return u[order], i[order], x[order], floor_rmse
+
+
+def leave_out_split(u, i, x, seed: int = 0, n_test: int = 1, n_val: int = 2):
+    """Vectorized per-user leave-out split (the reference's split flavor,
+    `/root/reference/src/data/load_data.py:53-56`): for users with >=
+    n_test + n_val + 1 ratings, the last ``n_test`` go to test and the
+    next ``n_val`` to validation (after a per-user shuffle); everything
+    else trains.  Scales to 25M edges (no Python per-user loop)."""
+    u = np.asarray(u, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    x = np.asarray(x, dtype=np.float64)
+    rng = np.random.default_rng(seed + 1)
+    order = np.lexsort((rng.random(len(u)), u))
+    u, i, x = u[order], i[order], x[order]
+
+    uniq, starts, counts = np.unique(u, return_index=True, return_counts=True)
+    group_end = starts + counts  # first index past each user's run
+    pos_from_end = np.repeat(group_end, counts) - 1 - np.arange(len(u))
+    big = np.repeat(counts, counts) >= n_test + n_val + 1
+    is_test = (pos_from_end < n_test) & big
+    is_val = (pos_from_end >= n_test) & (pos_from_end < n_test + n_val) & big
+    is_train = ~(is_test | is_val)
+
+    def pick(m):
+        return u[m], i[m], x[m]
+
+    return pick(is_train), pick(is_val), pick(is_test)
+
+
 def synth_splits(n_users: int, n_items: int, n_ratings: int, seed: int = 0):
     """Synthesize train/val/test triples with the reference's per-user
     leave-out flavor: last rating to test, next two to val, rest to train

@@ -64,6 +64,9 @@ class FitLoop:
         checkpoint_every: int = 10,
         profile_dir: Optional[str] = None,
         edge_visits_per_iter: Optional[int] = None,
+        elbo_fn: Optional[Callable] = None,
+        elbo_every: int = 1,
+        elbo_monotone: Optional[float] = None,
     ):
         self.sweep_fn = sweep_fn
         self.eval_fn = eval_fn
@@ -75,6 +78,18 @@ class FitLoop:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.profile_dir = profile_dir
+        # Optional convergence diagnostic (beyond the reference, which
+        # never computes its objective): ``elbo_fn(state) -> scalar`` is
+        # evaluated every ``elbo_every`` iterations and recorded in
+        # history as ``elbo``.  ``elbo_monotone`` (a relative tolerance)
+        # enforces non-decrease — valid for the Gaussian family, whose
+        # sweep is exact coordinate ascent on this ELBO; the tolerance
+        # absorbs the engine's statistic rounding (1e-6 flat/f64,
+        # looser for bf16-decomposed blocked statistics).
+        self.elbo_fn = elbo_fn
+        self.elbo_every = max(int(elbo_every), 1)
+        self.elbo_monotone = elbo_monotone
+        self._prev_elbo: Optional[float] = None
         # Ratings touched per iteration (nnz x number of edge passes); when
         # set, each history record carries ``updates_per_sec`` (SURVEY §5.1:
         # the reference only ever logged wall-clock).
@@ -86,6 +101,25 @@ class FitLoop:
             from pmf_tpu.utils.checkpoint import save_state
 
             save_state(self.checkpoint_dir, state, {"iteration": it, "name": self.name})
+
+    def _maybe_elbo(self, state, it: int, record: dict) -> None:
+        if self.elbo_fn is None or it % self.elbo_every:
+            return
+        elbo = float(self.elbo_fn(state))
+        record["elbo"] = elbo
+        prev = self._prev_elbo
+        if (
+            self.elbo_monotone is not None
+            and prev is not None
+            and elbo < prev - self.elbo_monotone * (1.0 + abs(prev))
+        ):
+            raise RuntimeError(
+                f"{self.name}: ELBO decreased at iteration {it} "
+                f"({prev!r} -> {elbo!r}) — the sweep is coordinate ascent on "
+                "this objective, so a decrease beyond rounding indicates a "
+                "bug (or mismatched train data passed to elbo_every)"
+            )
+        self._prev_elbo = elbo
 
     def run(self, state, data: RatingsCOO, val: Optional[EvalSet]):
         """Drive sweeps with host-side early stopping.  Iteration wall time
@@ -140,13 +174,18 @@ class FitLoop:
                     record["updates_per_sec"] = (
                         self.edge_visits_per_iter / record["iter_seconds"]
                     )
+                self._maybe_elbo(cur, it, record)
+                if "elbo" in record:
+                    t0 = _time.perf_counter()  # ELBO time is not sweep time
                 if self.verbose:
                     ups = record.get("updates_per_sec")
                     print(
                         f"{self.name} iter {it}/{self.max_iter} | "
                         f"val RMSE {val_rmse:.4f} | macro-MAE {float(val_macro):.4f} | "
                         f"{record['iter_seconds']:.3f}s"
-                        + (f" | {ups/1e6:.1f}M updates/s" if ups else ""),
+                        + (f" | {ups/1e6:.1f}M updates/s" if ups else "")
+                        + (f" | ELBO {record['elbo']:.6g}"
+                           if "elbo" in record else ""),
                         flush=True,
                     )
                 self.history.append(record)
@@ -174,6 +213,9 @@ class FitLoop:
                     record["updates_per_sec"] = (
                         self.edge_visits_per_iter / record["iter_seconds"]
                     )
+                self._maybe_elbo(cur, it, record)
+                if "elbo" in record:
+                    t0 = _time.perf_counter()
                 self.history.append(record)
         return state
 
@@ -246,10 +288,28 @@ class FactorModel:
         restored = {k: jnp.asarray(v) for k, v in state.items()}
         for k, v in default_state.items():
             if k not in restored or restored[k].shape != v.shape:
+                have = k in restored and restored[k].shape
+                hint = ""
+                # TP checkpoints store MESH-PADDED row counts; a leading-
+                # dim-only mismatch almost always means a cross-mode resume
+                # (TP checkpoint into a flat fit, or a different tp degree)
+                # — name that instead of leaving an opaque shape error
+                # (ADVICE r3).
+                if (
+                    have
+                    and restored[k].shape[1:] == v.shape[1:]
+                    and restored[k].shape[0] != v.shape[0]
+                ):
+                    hint = (
+                        " — the leading (row) dimension differs; TP "
+                        "(state_sharding='rows') checkpoints store mesh-"
+                        "padded row counts, so resume them with the same "
+                        "state_sharding mode and tp degree as the fit that "
+                        "saved them"
+                    )
                 raise ValueError(
                     f"checkpoint at {resume_from} does not match model state "
-                    f"(key {k}: {restored.get(k) is not None and restored[k].shape} "
-                    f"vs {v.shape})"
+                    f"(key {k}: {have} vs {v.shape}){hint}"
                 )
         return restored
 

@@ -570,15 +570,22 @@ class GaussianMF(FactorModel):
 
     def fit(self, train_df, val_df=None, global_mean: float = 0.0,
             resume_from=None, checkpoint_dir=None, checkpoint_every=10,
-            mesh=None, profile_dir=None, state_sharding=None):
+            mesh=None, profile_dir=None, state_sharding=None,
+            elbo_every: int = 0):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip training
         (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`).
         ``state_sharding="rows"``: additionally shard the factor STATE over
         mesh rows and train with ring sweeps (`pmf_tpu.parallel.tp`) — the
         TP mode for state that exceeds one chip's HBM (full-covariance
-        V_theta/V_beta at (rows, K, K), SURVEY §2e)."""
+        V_theta/V_beta at (rows, K, K), SURVEY §2e).
+        ``elbo_every=N``: record the exact mean-field ELBO in fit_history
+        every N iterations (0 = off) and GATE it monotone non-decreasing —
+        this sweep is exact coordinate ascent on that objective."""
         cfg = self.config
         if state_sharding == "rows":
+            if elbo_every:
+                raise ValueError("elbo_every is not supported with TP "
+                                 "(row-sharded) fits yet")
             if mesh is None:
                 raise ValueError("state_sharding='rows' requires a mesh")
             return self._fit_tp(train_df, val_df, global_mean, resume_from,
@@ -680,6 +687,17 @@ class GaussianMF(FactorModel):
             profile_dir=profile_dir,
             # theta + beta edge passes, plus the two bias passes when used
             edge_visits_per_iter=(4 if cfg.use_bias else 2) * data.nnz,
+            elbo_fn=self._make_elbo_fn(train_df) if elbo_every else None,
+            elbo_every=elbo_every or 1,
+            # Monotone gate: exact coordinate ascent guarantees
+            # non-decrease ONLY for the exact block order; the lagged bias
+            # schedule shares the fixed point but not the ascent property.
+            # Tolerance covers summation rounding (f64 flat) vs the
+            # blocked engines' bf16-decomposed statistic error (~2e-5).
+            elbo_monotone=(
+                None if cfg.bias_update == "lagged"
+                else (1e-6 if not engine.startswith("blocked") else 1e-4)
+            ),
         )
         self.state = loop.run(state, data, val)
         self.fit_history = loop.history
@@ -766,10 +784,9 @@ class GaussianMF(FactorModel):
         self.fit_history = loop.history
         return self
 
-    def elbo(self, train) -> float:
-        """Exact mean-field ELBO on (centered) training ratings — the
-        objective this model's CAVI sweep ascends (see pmf_tpu.eval.elbo);
-        beyond the reference, which never computes its objective."""
+    def _make_elbo_fn(self, train):
+        """state -> exact mean-field ELBO closure over the (centered)
+        train edges (used by ``fit(elbo_every=)`` and :meth:`elbo`)."""
         import jax.numpy as jnp
 
         from pmf_tpu.eval.elbo import _auto_chunks, gaussian_elbo
@@ -777,13 +794,21 @@ class GaussianMF(FactorModel):
         u, i, x = as_triples(train)
         cfg = self.config
         width = cfg.n_factors ** 2 if cfg.covariance == "full" else cfg.n_factors
-        return float(gaussian_elbo(
-            self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
-            jnp.asarray(x, self.state["m_theta"].dtype),
-            cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2, cfg.eta_bias2,
-            use_bias=cfg.use_bias, covariance=cfg.covariance,
-            n_chunks=_auto_chunks(len(u), width),
-        ))
+        ue = jnp.asarray(u, jnp.int32)
+        ie = jnp.asarray(i, jnp.int32)
+        xe = jnp.asarray(x, np.dtype(cfg.dtype))
+        nc = _auto_chunks(len(u), width)
+        return lambda s: gaussian_elbo(
+            s, ue, ie, xe, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+            cfg.eta_bias2, use_bias=cfg.use_bias, covariance=cfg.covariance,
+            n_chunks=nc,
+        )
+
+    def elbo(self, train) -> float:
+        """Exact mean-field ELBO on (centered) training ratings — the
+        objective this model's CAVI sweep ascends (see pmf_tpu.eval.elbo);
+        beyond the reference, which never computes its objective."""
+        return float(self._make_elbo_fn(train)(self.state))
 
     # -- predictions ------------------------------------------------------
     def _point_estimates(self):

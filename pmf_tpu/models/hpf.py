@@ -328,14 +328,19 @@ class HPF(FactorModel):
 
     def fit(self, train_df, val_df=None, resume_from=None,
             checkpoint_dir=None, checkpoint_every=10, mesh=None,
-            profile_dir=None, state_sharding=None):
+            profile_dir=None, state_sharding=None, elbo_every: int = 0):
         """``mesh``: optional `jax.sharding.Mesh` — the full fit (sweeps,
         validation eval, early stopping) runs multi-chip with edges and eval
         rows sharded on the "data" axis (see `FactorModel._mesh_place`).
         ``state_sharding="rows"``: row-shard the Gamma state across the mesh
-        and train with ring sweeps (`pmf_tpu.parallel.tp`)."""
+        and train with ring sweeps (`pmf_tpu.parallel.tp`).
+        ``elbo_every=N``: record the auxiliary-variable ELBO in fit_history
+        every N iterations (0 = off)."""
         cfg = self.config
         if state_sharding == "rows":
+            if elbo_every:
+                raise ValueError("elbo_every is not supported with TP "
+                                 "(row-sharded) fits yet")
             if mesh is None:
                 raise ValueError("state_sharding='rows' requires a mesh")
             return self._fit_tp(train_df, val_df, resume_from,
@@ -398,6 +403,8 @@ class HPF(FactorModel):
             checkpoint_every=checkpoint_every,
             profile_dir=profile_dir,
             edge_visits_per_iter=2 * data.nnz,  # theta + beta edge passes
+            elbo_fn=self._make_elbo_fn(train_df) if elbo_every else None,
+            elbo_every=elbo_every or 1,
         )
         self.state = loop.run(state, data, val)
         self.fit_history = loop.history
@@ -470,23 +477,30 @@ class HPF(FactorModel):
         self.fit_history = loop.history
         return self
 
-    def elbo(self, train) -> float:
-        """Auxiliary-variable ELBO (optimal allocations) incl. the
-        hierarchical xi/eta terms (see pmf_tpu.eval.elbo).  ``train``
-        must be on the +1-shifted scale used by fit()."""
+    def _make_elbo_fn(self, train):
+        """state -> auxiliary-variable ELBO closure over the train edges
+        (used by ``fit(elbo_every=)`` and :meth:`elbo`)."""
         import jax.numpy as jnp
 
         from pmf_tpu.eval.elbo import _auto_chunks, hpf_elbo
 
         u, i, x = as_triples(train)
         cfg = self.config
-        dt = self.state["a_theta"].dtype
-        return float(hpf_elbo(
-            self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
-            jnp.asarray(x, dt), cfg.a, cfg.a_prime, cfg.b_prime,
-            cfg.c, cfg.c_prime, cfg.d_prime,
-            n_chunks=_auto_chunks(len(u), cfg.n_factors),
-        ))
+        dt = np.dtype(cfg.dtype)
+        ue = jnp.asarray(u, jnp.int32)
+        ie = jnp.asarray(i, jnp.int32)
+        xe = jnp.asarray(x, dt)
+        nc = _auto_chunks(len(u), cfg.n_factors)
+        return lambda s: hpf_elbo(
+            s, ue, ie, xe, cfg.a, cfg.a_prime, cfg.b_prime,
+            cfg.c, cfg.c_prime, cfg.d_prime, n_chunks=nc,
+        )
+
+    def elbo(self, train) -> float:
+        """Auxiliary-variable ELBO (optimal allocations) incl. the
+        hierarchical xi/eta terms (see pmf_tpu.eval.elbo).  ``train``
+        must be on the +1-shifted scale used by fit()."""
+        return float(self._make_elbo_fn(train)(self.state))
 
     def _point_estimates(self):
         return (

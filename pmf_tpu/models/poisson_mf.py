@@ -323,13 +323,18 @@ class PoissonMF(FactorModel):
 
     def fit(self, train_df, val_df=None, resume_from=None,
             checkpoint_dir=None, checkpoint_every=10, mesh=None,
-            profile_dir=None, state_sharding=None):
+            profile_dir=None, state_sharding=None, elbo_every: int = 0):
         """``mesh``: optional `jax.sharding.Mesh` for multi-chip training
         (edges + eval rows sharded on "data"; see `FactorModel._mesh_place`).
         ``state_sharding="rows"``: row-shard the Gamma state across the mesh
-        and train with ring sweeps (`pmf_tpu.parallel.tp`)."""
+        and train with ring sweeps (`pmf_tpu.parallel.tp`).
+        ``elbo_every=N``: record the auxiliary-variable ELBO in fit_history
+        every N iterations (0 = off)."""
         cfg = self.config
         if state_sharding == "rows":
+            if elbo_every:
+                raise ValueError("elbo_every is not supported with TP "
+                                 "(row-sharded) fits yet")
             if mesh is None:
                 raise ValueError("state_sharding='rows' requires a mesh")
             return self._fit_tp(train_df, val_df, resume_from,
@@ -405,6 +410,8 @@ class PoissonMF(FactorModel):
             profile_dir=profile_dir,
             # extended re-walks each block's edges for the scalar refresh
             edge_visits_per_iter=(4 if cfg.extended else 2) * data.nnz,
+            elbo_fn=self._make_elbo_fn(train_df) if elbo_every else None,
+            elbo_every=elbo_every or 1,
         )
         self.state = loop.run(state, data, val)
         self.fit_history = loop.history
@@ -478,21 +485,26 @@ class PoissonMF(FactorModel):
         self.fit_history = loop.history
         return self
 
-    def elbo(self, train) -> float:
-        """Auxiliary-variable ELBO at the optimal per-edge allocations
-        (see pmf_tpu.eval.elbo)."""
+    def _make_elbo_fn(self, train):
+        """state -> auxiliary-variable ELBO closure over the train edges
+        (used by ``fit(elbo_every=)`` and :meth:`elbo`)."""
         import jax.numpy as jnp
 
         from pmf_tpu.eval.elbo import _auto_chunks, poisson_elbo
 
         u, i, x = as_triples(train)
-        dt = self.state["a_theta"].dtype
-        return float(poisson_elbo(
-            self.state, jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32),
-            jnp.asarray(x, dt), self.config.a0, self.config.b0,
-            extended=self.config.extended,
-            n_chunks=_auto_chunks(len(u), self.config.n_factors),
-        ))
+        cfg = self.config
+        ue = jnp.asarray(u, jnp.int32)
+        ie = jnp.asarray(i, jnp.int32)
+        xe = jnp.asarray(x, np.dtype(cfg.dtype))
+        nc = _auto_chunks(len(u), cfg.n_factors)
+        return lambda s: poisson_elbo(s, ue, ie, xe, cfg.a0, cfg.b0,
+                                      extended=cfg.extended, n_chunks=nc)
+
+    def elbo(self, train) -> float:
+        """Auxiliary-variable ELBO at the optimal per-edge allocations
+        (see pmf_tpu.eval.elbo)."""
+        return float(self._make_elbo_fn(train)(self.state))
 
     def _point_estimates(self):
         return (

@@ -103,3 +103,25 @@ def test_fitloop_periodic_checkpoint(tmp_path, small_splits):
     got, meta = load_state(str(tmp_path / "loopck"))
     assert meta["iteration"] == 4  # last multiple of 2 <= max_iter
     np.testing.assert_allclose(np.asarray(final["a_theta"]), got["a_theta"], rtol=1e-6)
+
+
+def test_cross_mode_resume_names_tp_padding(tmp_path):
+    """Resuming a TP (mesh-padded rows) checkpoint into a flat fit must
+    fail with a message naming the row-padding/mode mismatch, not an
+    opaque shape error (ADVICE r3)."""
+    import pandas as pd
+    import pytest
+
+    from pmf_tpu.data.synthetic import synth_ratings
+    from pmf_tpu.models import HPF, HPFConfig
+    from pmf_tpu.parallel import make_mesh
+
+    u, i, x = synth_ratings(30, 22, 300, seed=3)
+    df = pd.DataFrame({"u": u, "i": i, "rating": x + 1.0})
+    cfg = HPFConfig(n_factors=3, max_iter=2, tol=None, verbose=False)
+    ck = str(tmp_path / "tp_ck")
+    mesh = make_mesh(4)
+    HPF(cfg).fit(df, mesh=mesh, state_sharding="rows",
+                 checkpoint_dir=ck, checkpoint_every=1)
+    with pytest.raises(ValueError, match="mesh-.?padded|state_sharding"):
+        HPF(cfg).fit(df, resume_from=ck)

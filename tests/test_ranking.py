@@ -269,3 +269,54 @@ def test_recommend_out_of_range_user_raises():
         recommend(theta, beta, [3, 11], k=2)
     with pytest.raises(ValueError, match="out of range"):
         recommend(theta, beta, [-1], k=2)
+
+
+def test_exclusion_index_rejects_out_of_range_train_ids():
+    """Caller-supplied n_users smaller than max(train_u) must raise — the
+    radix path would silently drop those keys and misalign the CSR index
+    (ADVICE r3)."""
+    import pytest
+
+    from pmf_tpu.eval.recommend import build_exclusion_index
+
+    tu = np.array([0, 3, 7])
+    ti = np.array([1, 2, 3])
+    with pytest.raises(ValueError, match="out of range"):
+        build_exclusion_index(tu, ti, n_users=5)
+    with pytest.raises(ValueError, match="out of range"):
+        build_exclusion_index(np.array([-1, 0]), np.array([0, 1]), n_users=5)
+
+
+def test_recommend_sharded_pinned_cap():
+    """A pinned cap reuses one executable across dispatches and matches
+    the adaptive-cap results; an undersized cap raises instead of
+    silently truncating exclusions (ADVICE r3)."""
+    import pytest
+
+    from pmf_tpu.eval.recommend import (
+        build_exclusion_index,
+        recommend_sharded,
+    )
+    from pmf_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    nu, ni, nnz = 200, 80, 3000
+    tu = rng.integers(0, nu, nnz)
+    ti = rng.integers(0, ni, nnz)
+    theta = rng.standard_normal((nu, 5)).astype(np.float32)
+    beta = rng.standard_normal((ni, 5)).astype(np.float32)
+    idx = build_exclusion_index(tu, ti, n_users=nu)
+    users = rng.integers(0, nu, 70)
+    mesh = make_mesh(4)
+
+    it1, s1 = recommend_sharded(theta, beta, users, k=5, train_index=idx,
+                                mesh=mesh, batch=32)
+    # Generous pinned cap: identical results, one compiled shape.
+    it2, s2 = recommend_sharded(theta, beta, users, k=5, train_index=idx,
+                                mesh=mesh, batch=32, cap=4096)
+    np.testing.assert_array_equal(it1, it2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="pinned cap"):
+        recommend_sharded(theta, beta, users, k=5, train_index=idx,
+                          mesh=mesh, batch=64, cap=4)
