@@ -18,7 +18,7 @@ import os
 
 import numpy as np
 
-from pmf_tpu.cli.common import Timer, add_data_args, center, get_splits, print_header
+from pmf_tpu.cli.common import setup_runtime, Timer, add_data_args, center, get_splits, print_header
 from pmf_tpu.eval.metrics import (
     gaussian_log_predictive_likelihood,
     poisson_log_predictive_likelihood,
@@ -154,6 +154,7 @@ def sweep(model_name, train_df, val_df, ks, max_iter=30, verbose=False,
 
 
 def main(argv=None):
+    setup_runtime()
     parser = argparse.ArgumentParser(description="Best-K sweep")
     parser.add_argument("--model", required=True, choices=["gaussian", "poisson", "hpf_cavi"])
     parser.add_argument("--k_min", type=int, default=2)

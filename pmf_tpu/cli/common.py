@@ -20,6 +20,22 @@ from pmf_tpu.data.pipeline import load_all_splits
 from pmf_tpu.data.synthetic import synth_splits
 
 
+def setup_runtime() -> None:
+    """Per-invocation runtime setup shared by every CLI entry point.
+
+    Enables the persistent XLA compilation cache
+    (`pmf_tpu.utils.platform.setup_cache`) so repeated CLI invocations —
+    the reference workflow is tune -> compare -> train as SEPARATE
+    processes (`/root/reference/src/experiments/*.py`) — pay each model's
+    compile once per machine instead of once per process.  At the
+    reference's own Food.com scale, compile time is a large share of
+    wall-clock (PARITY_r03: Poisson 0.8x vs CPU), so this is a
+    match-or-beat lever, not a convenience."""
+    from pmf_tpu.utils.platform import setup_cache
+
+    setup_cache()
+
+
 def add_data_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--processed_dir", default="data/processed", help="processed CSV directory"

@@ -18,7 +18,7 @@ import os
 import pandas as pd
 
 from pmf_tpu import config as cfg_io
-from pmf_tpu.cli.common import add_data_args, get_splits, print_header
+from pmf_tpu.cli.common import setup_runtime, add_data_args, get_splits, print_header
 from pmf_tpu.cli.run_single import DEFAULTS, run_model
 from pmf_tpu.models import HPFConfig, HPFMapConfig, GaussianMFConfig, PoissonMFConfig
 
@@ -82,6 +82,7 @@ def plot_results(results_df: pd.DataFrame, path: str) -> None:
 
 
 def main(argv=None):
+    setup_runtime()
     parser = argparse.ArgumentParser(description="Compare all PMF models")
     parser.add_argument("--hyperparams", default="best_hyperparams.txt")
     parser.add_argument("--plot", default="model_comparison_plots.png")

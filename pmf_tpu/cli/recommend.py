@@ -22,6 +22,8 @@ import pandas as pd
 
 
 def main(argv=None):
+    from pmf_tpu.cli.common import setup_runtime
+    setup_runtime()
     parser = argparse.ArgumentParser(description="Top-k recommendations")
     parser.add_argument("--checkpoint", required=True,
                         help="directory written by checkpoint.save_model")

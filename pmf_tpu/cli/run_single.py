@@ -19,7 +19,7 @@ import argparse
 
 import numpy as np
 
-from pmf_tpu.cli.common import Timer, add_data_args, center, get_splits, print_header, shift
+from pmf_tpu.cli.common import setup_runtime, Timer, add_data_args, center, get_splits, print_header, shift
 from pmf_tpu.eval.metrics import macro_mae, rmse
 from pmf_tpu.models import (
     HPF,
@@ -120,6 +120,7 @@ def run_model(model_name: str, train_df, val_df, test_df, config=None, verbose=T
 
 
 def main(argv=None):
+    setup_runtime()
     parser = argparse.ArgumentParser(description="Run a single PMF model")
     parser.add_argument("--model", required=True, choices=sorted(DEFAULTS))
     parser.add_argument("--max_iter", type=int, help="override config max_iter/epochs")

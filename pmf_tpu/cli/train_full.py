@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 
 from pmf_tpu import config as cfg_io
-from pmf_tpu.cli.common import Timer, add_data_args, get_splits, print_header, shift
+from pmf_tpu.cli.common import setup_runtime, Timer, add_data_args, get_splits, print_header, shift
 from pmf_tpu.cli.run_single import DEFAULTS
 from pmf_tpu.eval.metrics import macro_mae, rmse
 from pmf_tpu.models import (
@@ -140,6 +140,7 @@ def train_one(model_name, train_df, val_df, test_df, dataset_mode, hyperparams,
 
 
 def main(argv=None):
+    setup_runtime()
     parser = argparse.ArgumentParser(description="Full training + artifact export")
     parser.add_argument("--model", default="all", choices=["all", *SPECS])
     parser.add_argument("--dataset_mode", default="train",

@@ -20,7 +20,7 @@ import itertools
 import numpy as np
 
 from pmf_tpu import config as cfg_io
-from pmf_tpu.cli.common import add_data_args, center, get_splits, print_header, shift
+from pmf_tpu.cli.common import setup_runtime, add_data_args, center, get_splits, print_header, shift
 from pmf_tpu.cli.run_single import run_model
 from pmf_tpu.models import HPFConfig, HPFMapConfig, GaussianMFConfig, PoissonMFConfig
 
@@ -163,6 +163,7 @@ def grid_tune_hpf_map(train_df, val_df, verbose=False):
 
 
 def main(argv=None):
+    setup_runtime()
     parser = argparse.ArgumentParser(description="Tune PMF models")
     parser.add_argument("--n_trials", type=int, default=5)
     parser.add_argument("--models", nargs="+",

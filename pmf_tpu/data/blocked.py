@@ -102,6 +102,7 @@ def _build_pass(
     seg_chunks: int = 4096,
     reorder: bool = False,
     group: int = 16,
+    seg_max_override: int | None = None,
 ) -> BlockedPass:
     n_self_blocks = -(-n_self // bs_self)
     n_other_blocks = -(-n_other // bs_other)
@@ -203,9 +204,14 @@ def _build_pass(
     # chunks/block) so span-cut segments stay mostly full — otherwise
     # sparse layouts would pad every segment with dummy chunks.
     avg_per_block = max(total_padded / max(n_self_blocks, 1), 1.0)
-    seg_max = min(seg_chunks, total_padded,
-                  max(int(max_span * avg_per_block), group))
-    seg_max = max(group, (seg_max // group) * group)
+    if seg_max_override is not None:
+        # Forced uniform segment length (TP blocked ring: every (device,
+        # step) bucket must share one static kernel geometry).
+        seg_max = max(group, (int(seg_max_override) // group) * group)
+    else:
+        seg_max = min(seg_chunks, total_padded,
+                      max(int(max_span * avg_per_block), group))
+        seg_max = max(group, (seg_max // group) * group)
     ranges = []
     start = 0
     while start < total_padded:

@@ -187,6 +187,69 @@ def _kernel(
         )
 
 
+def make_edge_stats_call(
+    *,
+    bs_self: int,
+    bs_other: int,
+    chunk_size: int,
+    KT: int,
+    K: int,
+    parts: int,
+    highest: bool,
+    group: int,
+    seg_chunks: int,
+    out_rows: int,
+    rate_floor: float,
+    interpret: bool,
+):
+    """Construct the segment-level pallas_call shared by the single-chip
+    pass (:func:`poisson_edge_stats`) and the TP blocked ring sweeps
+    (`pmf_tpu.parallel.tp_blocked`).  The returned callable maps
+    ``(sb, ob, loc, x, e_self_pad, e_other_pad x group) -> (out_rows, 2K)``
+    for ONE segment of ``seg_chunks`` chunks; output rows are relative to
+    the segment's first self block (``sb[0]``)."""
+    G = group
+    C = chunk_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(seg_chunks // G,),
+        in_specs=[
+            pl.BlockSpec((G * C, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((G * C, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((bs_self, KT), lambda c, sb, ob: (sb[G * c], 0)),
+            *[
+                pl.BlockSpec(
+                    (bs_other, KT),
+                    lambda c, sb, ob, G=G, g=g: (ob[G * c + g], 0),
+                )
+                for g in range(G)
+            ],
+        ],
+        out_specs=pl.BlockSpec(
+            (bs_self, 2 * K), lambda c, sb, ob, G=G: (sb[G * c] - sb[0], 0)
+        ),
+    )
+    kernel = functools.partial(
+        _kernel,
+        bs_self=bs_self,
+        bs_other=bs_other,
+        chunk_size=C,
+        rate_floor=rate_floor,
+        k=K,
+        parts=parts,
+        highest=highest,
+        group=G,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, 2 * K), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rate_floor", "interpret", "precision", "mesh", "head_side"),
@@ -288,44 +351,11 @@ def poisson_edge_stats(
     KT = e_self_pad.shape[1]
 
     G = p.group
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(p.seg_chunks // G,),
-        in_specs=[
-            pl.BlockSpec((G * p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
-            pl.BlockSpec((G * p.chunk_size, 1), lambda c, sb, ob: (c, 0)),
-            pl.BlockSpec((p.bs_self, KT), lambda c, sb, ob, G=G: (sb[G * c], 0)),
-            *[
-                pl.BlockSpec(
-                    (p.bs_other, KT),
-                    lambda c, sb, ob, G=G, g=g: (ob[G * c + g], 0),
-                )
-                for g in range(G)
-            ],
-        ],
-        out_specs=pl.BlockSpec(
-            (p.bs_self, 2 * K), lambda c, sb, ob, G=G: (sb[G * c] - sb[0], 0)
-        ),
-    )
-
-    kernel = functools.partial(
-        _kernel,
-        bs_self=p.bs_self,
-        bs_other=p.bs_other,
-        chunk_size=p.chunk_size,
-        rate_floor=rate_floor,
-        k=K,
-        parts=parts,
-        highest=highest,
-        group=G,
-    )
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((out_rows, 2 * K), jnp.float32),
-        grid_spec=grid_spec,
+    call = make_edge_stats_call(
+        bs_self=p.bs_self, bs_other=p.bs_other, chunk_size=p.chunk_size,
+        KT=KT, K=K, parts=parts, highest=highest, group=G,
+        seg_chunks=p.seg_chunks, out_rows=out_rows, rate_floor=rate_floor,
         interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )
 
     C = p.chunk_size

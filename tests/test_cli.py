@@ -168,3 +168,19 @@ def test_run_single_engine_and_bias_update_flags():
                 "--engine", "flat", "--bias_update", "lagged", *SYN])
     for split in ("train", "val", "test"):
         assert np.isfinite(res[f"{split}_rmse"])
+
+
+def test_cli_enables_persistent_compile_cache(tmp_path, monkeypatch):
+    """Every CLI invocation enables the persistent XLA compilation cache
+    (VERDICT r3 #4: repeated tune -> compare -> train processes must not
+    re-pay compiles; PMF_TPU_CACHE_DIR overrides the default location)."""
+    import jax
+
+    import pmf_tpu.utils.platform as plat
+    from pmf_tpu.cli.run_single import main
+
+    monkeypatch.setattr(plat, "_CACHE_INITIALIZED", False)
+    monkeypatch.setenv("PMF_TPU_CACHE_DIR", str(tmp_path / "xla_cache"))
+    main(["--model", "poisson", "--max_iter", "2", *SYN])
+    assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla_cache")
+    assert (tmp_path / "xla_cache").is_dir()

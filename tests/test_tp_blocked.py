@@ -1,0 +1,154 @@
+"""TP blocked ring sweeps (`pmf_tpu.parallel.tp_blocked`).
+
+VERDICT r3 weak #1: TP training ran flat segment sums inside the ring.
+These tests gate the blocked replacement: per-iteration agreement with
+the FLAT TP ring (same fixed point, kernel rounding apart) on the
+8-virtual-device CPU mesh, for HPF and plain Poisson, pure TP and hybrid
+DP x TP, plus full-fit equivalence through the model facade.
+"""
+
+import numpy as np
+import pytest
+
+from pmf_tpu.parallel import make_mesh, make_mesh_2d
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    return make_mesh_2d(2, 4)
+
+
+def _ratings(n_users=90, n_items=70, nnz=1400, seed=3):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_users, nnz)
+    i = rng.integers(0, n_items, nnz)
+    # Dedup to keep the comparison free of duplicate-ordering noise.
+    key = u * n_items + i
+    _, first = np.unique(key, return_index=True)
+    u, i = u[first], i[first]
+    x = rng.integers(1, 6, len(u)).astype(np.float64)
+    return u, i, x, n_users, n_items
+
+
+def _tile_kwargs():
+    # Small tiles so tiny data exercises multi-block, multi-segment,
+    # multi-group paths.
+    return dict(block_users=16, block_items=16, chunk_size=8, group=2)
+
+
+def _hpf_states(mesh, dp=1):
+    import jax
+
+    from pmf_tpu.models.hpf import HPFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        HPF_AXIS_OF, HPF_PAD_ONES, build_tp_layout, pad_state_rows,
+        place_tp, tp_sweep_hpf,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_hpf_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings()
+    D = 8 // dp
+    cfg = HPFConfig(n_factors=5, random_state=0, dtype="float32")
+    hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime,
+             cfg.d_prime)
+
+    flat_layout = build_tp_layout(u, i, x, n_users, n_items, D,
+                                  dtype=np.float32, dp=dp)
+    blk_layout = build_tp_blocked(u, i, x, n_users, n_items, D,
+                                  dtype=np.float32, dp=dp, **_tile_kwargs())
+    state0 = pad_state_rows(
+        init_state(n_users, n_items, cfg), HPF_AXIS_OF,
+        flat_layout.n_users_pad, flat_layout.n_items_pad,
+        ones_keys=HPF_PAD_ONES)
+
+    flat_layout, s_flat = place_tp(flat_layout, dict(state0), mesh)
+    blk_layout, s_blk = place_tp_blocked(blk_layout, dict(state0), mesh)
+    for _ in range(3):
+        s_flat = tp_sweep_hpf(s_flat, flat_layout, *hyper, mesh=mesh)
+        s_blk = tp_sweep_hpf_blocked(s_blk, blk_layout, *hyper, mesh=mesh,
+                                     interpret=True)
+    return jax.device_get(s_flat), jax.device_get(s_blk)
+
+
+def _assert_close(a: dict, b: dict, rtol, atol):
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=rtol, atol=atol, err_msg=k)
+
+
+def test_hpf_tp_blocked_matches_flat_ring(mesh8):
+    s_flat, s_blk = _hpf_states(mesh8)
+    # precision="high" is ~f32-exact; three iterations compound kernel
+    # rounding only.
+    _assert_close(s_flat, s_blk, rtol=3e-4, atol=3e-5)
+
+
+def test_hpf_tp_blocked_hybrid(mesh2x4):
+    s_flat, s_blk = _hpf_states(mesh2x4, dp=2)
+    _assert_close(s_flat, s_blk, rtol=3e-4, atol=3e-5)
+
+
+def test_poisson_tp_blocked_matches_flat_ring(mesh8):
+    import jax
+
+    from pmf_tpu.models.poisson_mf import PoissonMFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        POISSON_AXIS_OF, POISSON_PAD_ONES, build_tp_layout, pad_state_rows,
+        place_tp, tp_sweep_poisson,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_poisson_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=5)
+    cfg = PoissonMFConfig(n_factors=4, random_state=1, dtype="float32")
+    flat_layout = build_tp_layout(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32)
+    blk_layout = build_tp_blocked(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32, **_tile_kwargs())
+    state0 = pad_state_rows(
+        init_state(n_users, n_items, cfg), POISSON_AXIS_OF,
+        flat_layout.n_users_pad, flat_layout.n_items_pad,
+        ones_keys=POISSON_PAD_ONES)
+
+    flat_layout, s_flat = place_tp(flat_layout, dict(state0), mesh8)
+    blk_layout, s_blk = place_tp_blocked(blk_layout, dict(state0), mesh8)
+    for _ in range(3):
+        s_flat = tp_sweep_poisson(s_flat, flat_layout, cfg.a0, cfg.b0,
+                                  extended=False, mesh=mesh8)
+        s_blk = tp_sweep_poisson_blocked(s_blk, blk_layout, cfg.a0, cfg.b0,
+                                         mesh=mesh8, interpret=True)
+    _assert_close(jax.device_get(s_flat), jax.device_get(s_blk),
+                  rtol=3e-4, atol=3e-5)
+
+
+def test_hpf_fit_tp_blocked_engine(small_splits, mesh8):
+    """Full fit through the facade: engine='blocked_high' with
+    state_sharding='rows' trains on the blocked ring and lands within
+    kernel rounding of the flat-ring TP fit."""
+    from pmf_tpu.models.hpf import HPF, HPFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    train, val = (tu, ti, tx + 1.0), (vu, vi, vx + 1.0)
+    base = dict(n_factors=4, max_iter=4, tol=None, verbose=False,
+                dtype="float32", random_state=2)
+
+    flat = HPF(HPFConfig(engine="flat", **base)).fit(
+        train, val, mesh=mesh8, state_sharding="rows")
+    blk = HPF(HPFConfig(engine="blocked_high", **base)).fit(
+        train, val, mesh=mesh8, state_sharding="rows")
+
+    for k in flat.state:
+        np.testing.assert_allclose(
+            np.asarray(flat.state[k]), np.asarray(blk.state[k]),
+            rtol=3e-4, atol=3e-5, err_msg=k)
+    for rf, rb in zip(flat.fit_history, blk.fit_history):
+        assert abs(rf["val_rmse"] - rb["val_rmse"]) < 1e-3
