@@ -108,12 +108,13 @@ def main(argv=None):
     parser.add_argument("--raw", action="store_true",
                         help="also analyze data/raw/RAW_interactions.csv")
     parser.add_argument("--raw_dir", default="data/raw")
+    parser.add_argument("--out_dir", default=OUT_DIR)
     add_data_args(parser)
     args = parser.parse_args(argv)
     if args.raw:
-        analyze_raw(args.raw_dir)
+        analyze_raw(args.raw_dir, args.out_dir)
     train_df, val_df, test_df = get_splits(args)
-    return analyze_processed(train_df, val_df, test_df)
+    return analyze_processed(train_df, val_df, test_df, out_dir=args.out_dir)
 
 
 if __name__ == "__main__":

