@@ -299,9 +299,11 @@ def bench_tp(u, i, x, n_users, n_items, nnz, K, iters, rtt):
     out["blocked_padded_slots"] = int(np.asarray(blk.by_user.loc).size)
     out["blocked_slot_ratio"] = round(out["blocked_padded_slots"] / nnz, 3)
 
+    interpret = jax.default_backend() == "cpu"
     try:
         lay, st = place_tp_blocked(blk, dict(state0), mesh)
-        step = lambda s: tp_sweep_hpf_blocked(s, lay, *hyper, mesh=mesh)
+        step = lambda s: tp_sweep_hpf_blocked(s, lay, *hyper, mesh=mesh,
+                                              interpret=interpret)
         dt = _time_chained(step, st, iters, rtt)
         out["ring1_blocked_updates_per_sec"] = round(2.0 * nnz / dt, 1)
         out["ring1_blocked_iter_seconds"] = round(dt, 4)
