@@ -80,8 +80,10 @@ class HPFMapConfig:
     # (SGD over a random batch sequence covering every rating once per
     # epoch); batch COMPOSITION is tile-local instead of uniform, a
     # documented deviation gated by the parity pipeline's stochastic
-    # band.  "auto" = blocked_high on TPU at scale, flat elsewhere
-    # (`pmf_tpu.models.base.resolve_engine`).
+    # band.  "auto" = flat: unlike the CAVI engines (bit-compatible
+    # math, measured 3-13x), the blocked MAP step changes batch
+    # composition, so it stays OPT-IN until measured faster AND
+    # quality-neutral at scale on hardware (bench detail `hpf_map`).
     engine: str = "auto"
 
 
@@ -490,7 +492,12 @@ class HPFMap(FactorModel):
 
         from pmf_tpu.models.base import resolve_engine
 
-        engine = resolve_engine(cfg.engine, self.n_users, self.n_items, nnz)
+        # "auto" stays flat for the MAP path (see HPFMapConfig.engine):
+        # blocked tile batches change SGD batch composition, so they are
+        # opt-in rather than a silent default.
+        engine = ("flat" if cfg.engine == "auto"
+                  else resolve_engine(cfg.engine, self.n_users,
+                                      self.n_items, nnz))
         blocked = engine.startswith("blocked") and mesh is None
         if engine.startswith("blocked") and mesh is not None and cfg.verbose:
             print("HPFMap: blocked engine has no mesh path yet; using flat "
