@@ -139,6 +139,13 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    # Persistent compile cache (stage functions call run_model/train_full
+    # internals directly, bypassing the CLIs' setup_runtime) — without
+    # this the parity timing legs repay every compile per process, which
+    # is exactly the wall-clock the reference comparison measures.
+    from pmf_tpu.utils.platform import setup_cache
+
+    setup_cache()
 
     os.makedirs(args.workdir, exist_ok=True)
     # Resolve paths before chdir.

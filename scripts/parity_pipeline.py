@@ -198,6 +198,14 @@ def main():
     def report():
         sys.path.insert(0, REPO)
         sys.path.insert(0, os.path.join(REPO, "scripts"))
+        # The report's ranking metrics run through jax.  Honor an
+        # orchestrator-level JAX_PLATFORMS=cpu in-process: the axon
+        # sitecustomize registers the TPU plugin in every python, and
+        # the env var alone does not stop (or un-wedge) client creation.
+        if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         from parity_report import build_report
 
         build_report(workdir, out_prefix, scale=args.scale)
