@@ -724,8 +724,6 @@ class GaussianMF(FactorModel):
         )
 
         cfg = self.config
-        if cfg.use_bias and cfg.bias_update != "exact":
-            raise ValueError("TP mode supports bias_update='exact' only")
         self.global_mean = float(global_mean)
         u, i, x = as_triples(train_df)
         self.n_users = int(u.max()) + 1
@@ -735,6 +733,13 @@ class GaussianMF(FactorModel):
                   f"{describe_tp(mesh)}", flush=True)
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items,
                                 len(u))
+        if cfg.use_bias and cfg.bias_update != "exact" and not (
+                engine.startswith("blocked") and cfg.covariance == "full"):
+            raise ValueError(
+                "TP mode supports bias_update='lagged' only with a blocked "
+                "engine and covariance='full' (the flat ring and the diag "
+                "kernel carry no bias-stat payload); got "
+                f"engine={engine!r}, covariance={cfg.covariance!r}")
         if engine.startswith("blocked"):
             # Gaussian blocked kernels INSIDE the ring (VERDICT r3 weak
             # #1) — the augmented [m | b | tri(V + mm^T)] table rotates
@@ -770,7 +775,8 @@ class GaussianMF(FactorModel):
                     s, lo, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
                     cfg.eta_bias2, use_bias=cfg.use_bias,
                     covariance=cfg.covariance, mesh=mesh,
-                    precision=precision, interpret=interpret))
+                    precision=precision, interpret=interpret,
+                    bias_update=cfg.bias_update))
         else:
             layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
                                      tp_degree(mesh), dtype=self._dtype,

@@ -613,6 +613,7 @@ def tp_sweep_gaussian_blocked(
     state: dict, layout: TPBlockedLayout, sigma2, eta_theta2, eta_beta2,
     eta_bias2, *, use_bias: bool, covariance: str, mesh,
     precision: str = "high", interpret: bool = False,
+    bias_update: str = "exact",
 ):
     """One full Gaussian CAVI iteration, row-sharded, with the Gaussian
     blocked kernels inside the rings — the reference's exact block order
@@ -625,7 +626,16 @@ def tp_sweep_gaussian_blocked(
     table), the bias pass rotates ``[m | b]``, and every per-self-row
     term (b_self residual fold, the m_self contraction, the batched PSD
     inverses) applies locally after the ring — so the ring carries
-    exactly one f32 table per pass, decomposed to bf16 parts per step."""
+    exactly one f32 table per pass, decomposed to bf16 parts per step.
+
+    ``bias_update="lagged"`` (full covariance + biases) drops BOTH bias
+    ring passes — 2 rings/iter instead of 4: the bias sufficient
+    statistics ``(S_m, S_x, S_b)`` ride the factor kernels' payload
+    lanes (`_factor_kernel(with_bias_stats=True)`), and the bias blocks
+    become per-self-row closed forms applied locally after each factor
+    ring, in the single-chip lagged order theta -> b_user -> beta ->
+    b_item (same fixed point: `models/gaussian_mf.sweep`,
+    tests/test_gaussian_lagged.py)."""
     from pmf_tpu.ops.pallas.gaussian_edge import (
         _FACTOR_PARTS,
         _PARTS,
@@ -636,11 +646,20 @@ def tp_sweep_gaussian_blocked(
         pack_tri,
         unpack_tri,
     )
+    from pmf_tpu.models.gaussian_mf import _bias_block_lagged
     from pmf_tpu.ops.solve import batched_psd_inverse
 
     import functools as _ft
 
     full = covariance == "full"
+    lagged = use_bias and bias_update == "lagged"
+    if bias_update not in ("exact", "lagged"):
+        raise ValueError(f"unknown bias_update {bias_update!r}")
+    if lagged and not full:
+        raise ValueError(
+            "bias_update='lagged' requires covariance='full' in the TP "
+            "blocked engine (the diag kernel carries no bias-stat payload)"
+        )
     p_mb, p_A = _FACTOR_PARTS[precision]
     d_parts = _PARTS[precision]
     highest = precision == "highest"
@@ -743,22 +762,29 @@ def tp_sweep_gaussian_blocked(
                 _factor_kernel, bs_self=dirn.bs_self, bs_other=dirn.bs_other,
                 chunk_size=dirn.chunk_size, p_mb=p_mb, p_A=p_A,
                 highest=highest, k=K, use_bias=use_bias, group=dirn.group,
-                with_bias_stats=False,
+                with_bias_stats=lagged,
             )
-            acc = ring_stats(dirn, bucket, kernel, 2 * K + T, T_own, prep)
+            w_out = 2 * K + T + (2 if lagged else 0)
+            acc = ring_stats(dirn, bucket, kernel, w_out, T_own, prep)
             s_per = m_self.shape[0]
             out = acc[:s_per][perm_self_n2o].astype(dt)
             S_w, S_m = out[:, :K], out[:, K : 2 * K]
             if use_bias:
                 S_w = S_w - b_self[:, None] * S_m
-            S_A = unpack_tri(out[:, 2 * K :], K)
+            S_A = unpack_tri(out[:, 2 * K : 2 * K + T], K)
             eye = jnp.eye(K, dtype=dt)
             prec = eye / jnp.asarray(eta2, dt) + S_A / jnp.asarray(s2, dt)
             V_new = batched_psd_inverse(prec)
             m_new = jnp.einsum("rkl,rl->rk", V_new, S_w) / jnp.asarray(s2, dt)
             has = (counts > 0)[:, None]
-            return (jnp.where(has, m_new, m_self),
-                    jnp.where(has[:, :, None], V_new, V_self))
+            m_out = jnp.where(has, m_new, m_self)
+            V_out = jnp.where(has[:, :, None], V_new, V_self)
+            if lagged:
+                # (S_m, S_x, S_b): the bias block's sufficient statistics,
+                # collected on the factor payload lanes.
+                return m_out, V_out, (S_m, out[:, 2 * K + T],
+                                      out[:, 2 * K + T + 1])
+            return m_out, V_out
 
         def factor_block_diag(dirn, bucket, m_self, v_self, m_other_own,
                               v_other_own, b_self, b_other_own,
@@ -815,6 +841,21 @@ def tp_sweep_gaussian_blocked(
                              b_self)
 
         factor_block = factor_block_full if full else factor_block_diag
+        if lagged:
+            # theta -> b_user -> beta -> b_item, 2 ring passes total: the
+            # bias closed forms are local (stats rode the factor rings).
+            m_t, V_t, (S_m_u, S_x_u, S_b_u) = factor_block(
+                layout.by_user, _dir_local_t(bu), m_t, V_t, m_b, V_b,
+                b_u, b_i, u_o2n, u_n2o, i_o2n, counts_u, et2)
+            b_u = _bias_block_lagged(b_u, m_t, S_m_u, S_x_u, S_b_u,
+                                     counts_u.astype(dt), ebias2, s2)
+            m_b, V_b, (S_m_i, S_x_i, S_b_i) = factor_block(
+                layout.by_item, _dir_local_t(bi), m_b, V_b, m_t, V_t,
+                b_i, b_u, i_o2n, i_n2o, u_o2n, counts_i, eb2)
+            b_i = _bias_block_lagged(b_i, m_b, S_m_i, S_x_i, S_b_i,
+                                     counts_i.astype(dt), ebias2, s2)
+            return {"m_theta": m_t, "V_theta": V_t, "m_beta": m_b,
+                    "V_beta": V_b, "b_user": b_u, "b_item": b_i}
         m_t, V_t = factor_block(layout.by_user, _dir_local_t(bu),
                                 m_t, V_t, m_b, V_b, b_u, b_i,
                                 u_o2n, u_n2o, i_o2n, counts_u, et2)

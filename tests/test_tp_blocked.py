@@ -237,3 +237,84 @@ def test_gaussian_tp_blocked_matches_flat_ring(mesh8, covariance, use_bias):
             mesh=mesh8, interpret=True)
     _assert_close(jax.device_get(s_flat), jax.device_get(s_blk),
                   rtol=2e-3, atol=2e-4)
+
+
+def test_gaussian_tp_blocked_lagged_matches_flat_sweep(mesh8):
+    """TP lagged-bias mode (2 ring passes/iter, bias closed forms local):
+    matches the single-chip FLAT lagged sweep (`gaussian_mf.sweep` with
+    bias_update="lagged", itself f64-oracle-gated in
+    test_gaussian_lagged.py) within kernel rounding over 3 iterations."""
+    import jax
+
+    from pmf_tpu.data.coo import build_ratings
+    from pmf_tpu.models.gaussian_mf import (
+        GaussianMFConfig, init_state, sweep,
+    )
+    from pmf_tpu.parallel.tp import (
+        GAUSSIAN_AXIS_OF, build_tp_layout, pad_state_rows,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_gaussian_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=23)
+    x = x - x.mean()
+    cfg = GaussianMFConfig(n_factors=4, random_state=0, dtype="float32",
+                           use_bias=True, bias_update="lagged")
+
+    # Single-chip flat lagged oracle.
+    data = build_ratings(u, i, x.astype(np.float32))
+    s_ref = {k: np.asarray(v, np.float32)
+             for k, v in init_state(n_users, n_items, cfg).items()}
+
+    # TP blocked lagged.
+    pads = build_tp_layout(u, i, x, n_users, n_items, 8, dtype=np.float32)
+    blk = build_tp_blocked(u, i, x, n_users, n_items, 8,
+                           dtype=np.float32, **_tile_kwargs())
+    state0 = pad_state_rows(init_state(n_users, n_items, cfg),
+                            GAUSSIAN_AXIS_OF, pads.n_users_pad,
+                            pads.n_items_pad)
+    blk, s_blk = place_tp_blocked(blk, dict(state0), mesh8)
+
+    for _ in range(3):
+        s_ref = sweep(s_ref, data, cfg.sigma2, cfg.eta_theta2,
+                      cfg.eta_beta2, cfg.eta_bias2, cfg.n_factors, True,
+                      covariance="full", bias_update="lagged")
+        s_blk = tp_sweep_gaussian_blocked(
+            s_blk, blk, cfg.sigma2, cfg.eta_theta2, cfg.eta_beta2,
+            cfg.eta_bias2, use_bias=True, covariance="full", mesh=mesh8,
+            interpret=True, bias_update="lagged")
+
+    s_blk = jax.device_get(s_blk)
+    rows = {"m_theta": n_users, "V_theta": n_users, "b_user": n_users,
+            "m_beta": n_items, "V_beta": n_items, "b_item": n_items}
+    for k, n in rows.items():
+        np.testing.assert_allclose(
+            np.asarray(s_blk[k])[:n], np.asarray(s_ref[k]),
+            rtol=2e-3, atol=2e-4, err_msg=k)
+
+
+def test_gaussian_fit_tp_lagged_facade(small_splits, mesh8):
+    """fit(mesh=, state_sharding="rows") with bias_update="lagged" +
+    blocked engine trains end-to-end; the flat TP ring still rejects
+    lagged with a descriptive error."""
+    from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
+
+    (tu, ti, tx), (vu, vi, vx), _ = small_splits
+    mean = tx.mean()
+    train, val = (tu, ti, tx - mean), (vu, vi, vx - mean)
+    base = dict(n_factors=4, max_iter=3, tol=None, verbose=False,
+                dtype="float32", random_state=2, use_bias=True,
+                bias_update="lagged")
+
+    single = GaussianMF(GaussianMFConfig(engine="flat", **base)).fit(
+        train, val, global_mean=mean)
+    tp = GaussianMF(GaussianMFConfig(engine="blocked_high", **base)).fit(
+        train, val, global_mean=mean, mesh=mesh8, state_sharding="rows")
+    assert abs(single.fit_history[-1]["val_rmse"]
+               - tp.fit_history[-1]["val_rmse"]) < 1e-3
+
+    with pytest.raises(ValueError, match="lagged"):
+        GaussianMF(GaussianMFConfig(engine="flat", **base)).fit(
+            train, val, global_mean=mean, mesh=mesh8,
+            state_sharding="rows")
