@@ -201,14 +201,25 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (handled pre-import; smoke "
                          "tests only)")
+    ap.add_argument("--data_cache", default="",
+                    help="npz path caching the generated (u, i, x, floor) "
+                         "so interrupted runs skip the single-core "
+                         "generation (the split re-derives deterministically)")
     args = ap.parse_args(argv)
 
     setup_cache()
     os.makedirs(args.out, exist_ok=True)
 
     t0 = time.perf_counter()
-    u, i, x, floor = synth_planted(args.n_users, args.n_items, args.nnz,
-                                   seed=args.seed)
+    if args.data_cache and os.path.exists(args.data_cache):
+        z = np.load(args.data_cache)
+        u, i, x, floor = z["u"], z["i"], z["x"], float(z["floor"])
+        print(f"# data cache hit: {args.data_cache}", flush=True)
+    else:
+        u, i, x, floor = synth_planted(args.n_users, args.n_items, args.nnz,
+                                       seed=args.seed)
+        if args.data_cache:
+            np.savez(args.data_cache, u=u, i=i, x=x, floor=floor)
     train, val, test = leave_out_split(u, i, x, seed=args.seed)
     gen_secs = time.perf_counter() - t0
     report = {
