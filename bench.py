@@ -529,6 +529,7 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
 
     value = hpf_results.get("hybrid_high") or hpf_results["blocked_high"]
     gval = g.get("updates_per_sec_4block")
+    gfac = g.get("updates_per_sec_factor_only")
     print(
         json.dumps(
             {
@@ -538,6 +539,19 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
                 "vs_baseline": round(value / BASELINE, 3) if value else None,
                 "extra_metrics": [
                     {
+                        # STRICT convention first (VERDICT r3 weak #6): one
+                        # update = one rating visit in a FACTOR block only.
+                        "metric": ("gaussian_cavi_rating_updates_per_sec_"
+                                   "per_chip_factor_only"),
+                        "value": gfac,
+                        "unit": "updates/s",
+                        "vs_baseline": (round(gfac / BASELINE, 3)
+                                        if gfac else None),
+                        "convention": "2 factor-block participations per "
+                                      "rating per iteration (theta, beta); "
+                                      "exact biases still updated each iter",
+                    },
+                    {
                         "metric": "gaussian_cavi_rating_updates_per_sec_per_chip",
                         "value": gval,
                         "unit": "updates/s",
@@ -546,7 +560,7 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
                                       "rating per iteration (theta, beta, "
                                       "b_user, b_item); factor-only rate in "
                                       "detail.gaussian_blocked_high",
-                    }
+                    },
                 ],
                 "detail": {
                     "n_users": n_users,
