@@ -507,6 +507,19 @@ def _load_converged(path="reports/converged/CONVERGED_r04.json"):
     }
 
 
+def _git_rev():
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
     import jax
 
@@ -599,6 +612,7 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
                     },
                     "transfer_rtt_ms": round(rtt * 1e3, 1),
                     "device": str(jax.devices()[0]),
+                    "git_rev": _git_rev(),
                 },
             }
         )
