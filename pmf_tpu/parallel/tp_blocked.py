@@ -38,10 +38,12 @@ cavi_edge`) INSIDE the ring:
   mesh each bucket's SEGMENTS round-robin over the data axis with one
   psum per pass.
 
-Families: HPF, plain Poisson, and extended Poisson (the extended scalar
-refresh runs as a second ring pass with a pre-scaled table + the
-kernel's "raw" product mode).  The Gaussian payloads keep the flat ring
-for now — see `_fit_tp` engine resolution in the models.
+Families: ALL FOUR — HPF, plain Poisson, extended Poisson (the extended
+scalar refresh runs as a second ring pass with a pre-scaled table + the
+kernel's "raw" product mode), and Gaussian full/diag with biases (the
+augmented pass-through table ``[m | b | tri(V + mm^T)]`` rotates; PSD
+solves stay local; ``bias_update="lagged"`` rides the factor payload
+lanes and drops both bias ring passes).
 
 Reference analogue: none (the reference is single-process CPU,
 `/root/reference/src/models/hpf_cavi.py`); this is the TPU-native
