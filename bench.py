@@ -520,7 +520,39 @@ def _git_rev():
         return None
 
 
+def _device_init_guard(timeout_s: float = 600.0):
+    """The axon TPU tunnel's claim leg can wedge INDEFINITELY (the client
+    retries a dead local relay forever, holding no connection), which
+    would hang the whole bench run.  Initialize the backend under a
+    watchdog: if `jax.devices()` hasn't returned in ``timeout_s``, print
+    a well-formed failure JSON line and exit so the harness records the
+    outage instead of timing out silently."""
+    import threading
+
+    def _bail():
+        print(json.dumps({
+            "metric": "hpf_cavi_rating_updates_per_sec_per_chip",
+            "value": None, "unit": "updates/s", "vs_baseline": None,
+            "detail": {"failure": "tpu_unreachable",
+                       "message": f"jax.devices() did not return within "
+                                  f"{timeout_s:.0f}s — axon tunnel claim "
+                                  f"leg wedged (no local relay listener)",
+                       "git_rev": _git_rev()},
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, _bail)
+    t.daemon = True
+    t.start()
+    import jax
+
+    dev = jax.devices()
+    t.cancel()
+    return dev
+
+
 def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
+    _device_init_guard()
     import jax
 
     from pmf_tpu.utils.platform import measure_transfer_rtt, setup_cache
