@@ -499,7 +499,7 @@ def _load_converged(path="reports/converged/CONVERGED_r04.json"):
             "generative_floor_rmse"),
         "bias_only_test_rmse": full.get("bias_only_test_rmse"),
         "models": [
-            {"name": m.get("name"),
+            {"name": m.get("model"),
              **{k: m[k] for k in keep if k in m}}
             for m in full.get("models", [])
         ],

@@ -146,6 +146,7 @@ def synth_planted(
     mu: float = 3.4,
     bias_scale: float = 0.40,
     factor_var: float = 0.55,
+    draw_factor: float = 1.25,
 ):
     """Zipf-sampled (u, i) pairs whose ratings come from a PLANTED
     bias + low-rank model, rounded and clipped to the 0-5 star scale:
@@ -172,7 +173,12 @@ def synth_planted(
     iw /= iw.sum()
     uw = (1.0 + np.arange(n_users)) ** -0.7
     uw /= uw.sum()
-    n_draw = int(n_ratings * 1.25) + n_users + n_items
+    # Zipf sampling duplicates heavily at scale: 31.5M draws over
+    # 162k x 59k yield only ~20.8M unique pairs (66%).  Callers that need
+    # the full n_ratings UNIQUE edges (the ML-25M converged run: 25M
+    # ratings like the real dataset) pass a larger draw_factor; the
+    # default keeps the historical RNG stream byte-identical.
+    n_draw = int(n_ratings * draw_factor) + n_users + n_items
     u = rng.choice(n_users, size=n_draw, p=uw)
     i = rng.choice(n_items, size=n_draw, p=iw)
     u[:n_users] = np.arange(n_users)

@@ -602,6 +602,7 @@ class GaussianMF(FactorModel):
                                     resume_from)
 
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
+        self.engine_used = engine
         if engine.startswith("blocked"):
             import jax as _jax
 
@@ -733,6 +734,7 @@ class GaussianMF(FactorModel):
                   f"{describe_tp(mesh)}", flush=True)
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items,
                                 len(u))
+        self.engine_used = engine
         if cfg.use_bias and cfg.bias_update != "exact" and not (
                 engine.startswith("blocked") and cfg.covariance == "full"):
             raise ValueError(

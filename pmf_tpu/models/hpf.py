@@ -356,6 +356,7 @@ class HPF(FactorModel):
                                     resume_from)
 
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
+        self.engine_used = engine
         hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
         if engine.startswith("blocked"):
             import jax as _jax
@@ -440,6 +441,7 @@ class HPF(FactorModel):
                  cfg.d_prime)
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items,
                                 len(u))
+        self.engine_used = engine
         if engine.startswith("blocked"):
             # Blocked Pallas kernels INSIDE the ring (VERDICT r3 weak #1:
             # the flat ring paid ~13x vs the blocked engine at exactly

@@ -498,6 +498,7 @@ class HPFMap(FactorModel):
         engine = ("flat" if cfg.engine == "auto"
                   else resolve_engine(cfg.engine, self.n_users,
                                       self.n_items, nnz))
+        self.engine_used = engine
         blocked = engine.startswith("blocked") and mesh is None
         if engine.startswith("blocked") and mesh is not None and cfg.verbose:
             print("HPFMap: blocked engine has no mesh path yet; using flat "

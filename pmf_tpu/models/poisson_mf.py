@@ -350,6 +350,7 @@ class PoissonMF(FactorModel):
                                     resume_from)
 
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items, data.nnz)
+        self.engine_used = engine
         if engine.startswith("blocked"):
             import jax as _jax
 
@@ -447,6 +448,7 @@ class PoissonMF(FactorModel):
         axis_of = POISSON_EXT_AXIS_OF if cfg.extended else POISSON_AXIS_OF
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items,
                                 len(u))
+        self.engine_used = engine
         if engine.startswith("blocked"):
             # Blocked Pallas kernels INSIDE the ring (VERDICT r3 weak #1);
             # the extended variant runs the two-ring Gauss-Seidel form

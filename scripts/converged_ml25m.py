@@ -147,6 +147,10 @@ def fit_one(name, splits, max_iter, K, verbose):
     else:
         raise ValueError(name)
     rec["fit_wall_seconds"] = round(time.perf_counter() - t0, 2)
+    # Record the engine that actually ran (cfg.engine="auto" resolves by
+    # nnz inside fit; the production default at this scale is the hybrid
+    # dense-head + Pallas blocked tail).
+    rec["engine"] = getattr(model, "engine_used", model.cfg.engine)
 
     hist = model.fit_history
     rec["iterations_run"] = len(hist)
@@ -216,8 +220,14 @@ def main(argv=None):
         u, i, x, floor = z["u"], z["i"], z["x"], float(z["floor"])
         print(f"# data cache hit: {args.data_cache}", flush=True)
     else:
+        # draw_factor 2.6: Zipf duplicate rate at this shape means 1.25x
+        # draws land only ~20.8M unique; 2.6x yields > nnz unique pairs,
+        # which synth_planted then truncates to exactly nnz (true ML-25M
+        # edge count).
         u, i, x, floor = synth_planted(args.n_users, args.n_items, args.nnz,
-                                       seed=args.seed)
+                                       seed=args.seed,
+                                       draw_factor=2.6 if args.nnz >= 5_000_000
+                                       else 1.25)
         if args.data_cache:
             np.savez(args.data_cache, u=u, i=i, x=x, floor=floor)
     train, val, test = leave_out_split(u, i, x, seed=args.seed)
