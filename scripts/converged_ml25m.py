@@ -62,8 +62,11 @@ from pmf_tpu.eval.ranking import ranking_metrics
 from pmf_tpu.utils.platform import setup_cache
 
 # Edge-visit convention per iteration (bench.py): HPF touches every
-# rating in the theta and beta blocks; Gaussian-with-biases in four.
-VISITS_PER_EDGE = {"hpf_cavi": 2, "gaussian_bias": 4}
+# rating in the theta and beta blocks; Gaussian-with-biases in four
+# (exact) or two ring passes' worth of blocks under lagged biases —
+# the convention stays 4 block participations either way, with the
+# strict factor-only (2/edge) rate always reported alongside.
+VISITS_PER_EDGE = {"hpf_cavi": 2, "gaussian_bias": 4, "gaussian_bias_fast": 4}
 
 
 def bias_only_baseline(train, test):
@@ -125,13 +128,20 @@ def fit_one(name, splits, max_iter, K, verbose):
         rec["config"] = dataclasses.asdict(cfg)
         predict = lambda uu, ii: model.predict(uu, ii) - 1.0
         theta, beta = (np.asarray(a) for a in model._point_estimates())
-    elif name == "gaussian_bias":
+    elif name in ("gaussian_bias", "gaussian_bias_fast"):
         from pmf_tpu.models.gaussian_mf import GaussianMF, GaussianMFConfig
 
         mean = float(tx.mean())
+        # The _fast variant is the headline throughput configuration
+        # (blocked_mid bf16-part planes + lagged biases, 615M 4-block
+        # updates/s at this scale) run to convergence — demonstrating the
+        # fast path reaches the same quality plateau as the exact default.
+        fast = name.endswith("_fast")
         cfg = GaussianMFConfig(n_factors=K, sigma2=0.5, eta_theta2=0.1,
                                eta_beta2=0.01, eta_bias2=0.01,
                                max_iter=max_iter, tol=1e-6, use_bias=True,
+                               engine="blocked_mid" if fast else "auto",
+                               bias_update="lagged" if fast else "exact",
                                verbose=verbose)
         model = GaussianMF(cfg)
         model.fit((tu, ti, tx - mean), (vu, vi, vx - mean), global_mean=mean)
@@ -150,7 +160,7 @@ def fit_one(name, splits, max_iter, K, verbose):
     # Record the engine that actually ran (cfg.engine="auto" resolves by
     # nnz inside fit; the production default at this scale is the hybrid
     # dense-head + Pallas blocked tail).
-    rec["engine"] = getattr(model, "engine_used", model.cfg.engine)
+    rec["engine"] = getattr(model, "engine_used", model.config.engine)
 
     hist = model.fit_history
     rec["iterations_run"] = len(hist)
@@ -197,7 +207,8 @@ def main(argv=None):
     ap.add_argument("--nnz", type=int, default=25_000_000)
     ap.add_argument("--n_factors", type=int, default=20)
     ap.add_argument("--max_iter", type=int, default=200)
-    ap.add_argument("--models", default="hpf_cavi,gaussian_bias")
+    ap.add_argument("--models",
+                    default="hpf_cavi,gaussian_bias,gaussian_bias_fast")
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--out", default="reports/converged")
     ap.add_argument("--tag", default="r04")
