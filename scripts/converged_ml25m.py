@@ -66,7 +66,8 @@ from pmf_tpu.utils.platform import setup_cache
 # (exact) or two ring passes' worth of blocks under lagged biases —
 # the convention stays 4 block participations either way, with the
 # strict factor-only (2/edge) rate always reported alongside.
-VISITS_PER_EDGE = {"hpf_cavi": 2, "gaussian_bias": 4, "gaussian_bias_fast": 4}
+VISITS_PER_EDGE = {"hpf_cavi": 2, "gaussian_bias": 4, "gaussian_bias_fast": 4,
+                   "hpf_map": 1, "hpf_map_blocked": 1}
 
 
 def bias_only_baseline(train, test):
@@ -88,8 +89,10 @@ def bias_only_baseline(train, test):
 
 
 def epochs_to_target(history, key="val_rmse", band=0.005):
-    """First iteration whose val RMSE is within ``band`` of the plateau
-    (min) RMSE, plus cumulative fit seconds up to and including it."""
+    """First iteration/epoch whose val RMSE is within ``band`` of the
+    plateau (min) RMSE, plus cumulative fit seconds up to and including
+    it.  CAVI fits record iteration/iter_seconds; the SGD MAP path
+    records epoch/epoch_seconds."""
     vals = [h[key] for h in history if key in h]
     if not vals:
         return None
@@ -97,13 +100,12 @@ def epochs_to_target(history, key="val_rmse", band=0.005):
     target = plateau * (1.0 + band)
     secs = 0.0
     for h in history:
-        if h.get("iter_seconds"):
-            secs += h["iter_seconds"]
+        secs += h.get("iter_seconds") or h.get("epoch_seconds") or 0.0
         if h.get(key) is not None and h[key] <= target:
             return {
                 "plateau_val_rmse": plateau,
                 "target_val_rmse": target,
-                "iterations_to_target": h["iteration"],
+                "iterations_to_target": h.get("iteration", h.get("epoch")),
                 "seconds_to_target": round(secs, 2),
             }
     return None
@@ -154,6 +156,23 @@ def fit_one(name, splits, max_iter, K, verbose):
         b_item = np.asarray(model.state["b_item"])
         theta = np.concatenate([m_t, np.ones((m_t.shape[0], 1), m_t.dtype)], 1)
         beta = np.concatenate([m_b, b_item[:, None]], 1)
+    elif name in ("hpf_map", "hpf_map_blocked"):
+        from pmf_tpu.models.hpf_map import HPFMap, HPFMapConfig
+
+        # The blocked leg answers the engine="auto" gating question
+        # (HPFMapConfig.engine): does the tile-local batch composition
+        # reach the flat engine's quality plateau at REAL scale?
+        cfg = HPFMapConfig(n_factors=K, a=0.3, a_prime=1.0, b_prime=1.0,
+                           c=0.3, c_prime=1.0, d_prime=1.0, lr=2e-3,
+                           batch_size=65536, epochs=max_iter,
+                           engine=("blocked_fast" if name.endswith("blocked")
+                                   else "flat"),
+                           verbose=verbose)
+        model = HPFMap(cfg)
+        model.fit((tu, ti, tx + 1.0), (vu, vi, vx + 1.0))
+        rec["config"] = dataclasses.asdict(cfg)
+        predict = lambda uu, ii: model.predict(uu, ii) - 1.0
+        theta, beta = (np.asarray(a) for a in model._point_estimates())
     else:
         raise ValueError(name)
     rec["fit_wall_seconds"] = round(time.perf_counter() - t0, 2)
@@ -164,7 +183,9 @@ def fit_one(name, splits, max_iter, K, verbose):
 
     hist = model.fit_history
     rec["iterations_run"] = len(hist)
-    iter_secs = [h["iter_seconds"] for h in hist if h.get("iter_seconds")]
+    iter_secs = [h.get("iter_seconds") or h.get("epoch_seconds")
+                 for h in hist
+                 if h.get("iter_seconds") or h.get("epoch_seconds")]
     # Sustained rate over the WHOLE fit: every post-warmup iteration
     # including its validation eval.  Wall-clock rate (compile + layout
     # build included) reported alongside.
@@ -207,8 +228,12 @@ def main(argv=None):
     ap.add_argument("--nnz", type=int, default=25_000_000)
     ap.add_argument("--n_factors", type=int, default=20)
     ap.add_argument("--max_iter", type=int, default=200)
+    ap.add_argument("--map_epochs", type=int, default=40,
+                    help="epoch budget for the SGD MAP legs (no early "
+                         "stop in the reference-faithful loop)")
     ap.add_argument("--models",
-                    default="hpf_cavi,gaussian_bias,gaussian_bias_fast")
+                    default="hpf_cavi,gaussian_bias,gaussian_bias_fast,"
+                            "hpf_map,hpf_map_blocked")
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--out", default="reports/converged")
     ap.add_argument("--tag", default="r04")
@@ -263,8 +288,10 @@ def main(argv=None):
           f"{report['bias_only_test_rmse']:.4f}", flush=True)
 
     for name in args.models.split(","):
+        name = name.strip()
         print(f"# fitting {name} ...", flush=True)
-        rec = fit_one(name.strip(), (train, val, test), args.max_iter,
+        budget = args.map_epochs if name.startswith("hpf_map") else args.max_iter
+        rec = fit_one(name, (train, val, test), budget,
                       args.n_factors, not args.quiet)
         report["models"].append(rec)
         et = rec["epochs_to_target"] or {}
