@@ -713,12 +713,15 @@ class GaussianMF(FactorModel):
         (`tests/test_tp_fit.py`)."""
         from pmf_tpu.parallel.tp import (
             GAUSSIAN_AXIS_OF,
+            balance_perms,
             build_tp_layout,
             describe_tp,
             dp_degree,
             host_staging,
             pad_state_rows,
+            permute_state_rows,
             place_tp,
+            remap_eval,
             slice_state_rows,
             tp_degree,
             tp_sweep_gaussian,
@@ -742,6 +745,14 @@ class GaussianMF(FactorModel):
                 "engine and covariance='full' (the flat ring and the diag "
                 "kernel carry no bias-stat payload); got "
                 f"engine={engine!r}, covariance={cfg.covariance!r}")
+        # Count-balanced global row ownership (tp.BalancePerms): deal
+        # rows to devices round-robin in descending count order so
+        # bucket sizes — and both rings' uniform padding — balance.
+        D = tp_degree(mesh)
+        bal = balance_perms(u, i, -(-self.n_users // D) * D,
+                            -(-self.n_items // D) * D, D)
+        ub = bal.u_new_of_old[np.asarray(u)]
+        ib = bal.i_new_of_old[np.asarray(i)]
         if engine.startswith("blocked"):
             # Gaussian blocked kernels INSIDE the ring (VERDICT r3 weak
             # #1) — the augmented [m | b | tri(V + mm^T)] table rotates
@@ -766,7 +777,7 @@ class GaussianMF(FactorModel):
             tiles = auto_tiles(self.n_users, self.n_items, len(u),
                                group_cap=cap)
             layout = build_tp_blocked(
-                u, i, x, self.n_users, self.n_items, tp_degree(mesh),
+                ub, ib, x, self.n_users, self.n_items, D,
                 dtype=self._dtype, dp=dp_degree(mesh),
                 block_users=tiles["block_users"],
                 block_items=tiles["block_items"],
@@ -780,8 +791,8 @@ class GaussianMF(FactorModel):
                     precision=precision, interpret=interpret,
                     bias_update=cfg.bias_update))
         else:
-            layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
-                                     tp_degree(mesh), dtype=self._dtype,
+            layout = build_tp_layout(ub, ib, x, self.n_users, self.n_items,
+                                     D, dtype=self._dtype,
                                      dp=dp_degree(mesh))
             place = place_tp
             sweep_tp = jax.jit(
@@ -797,11 +808,12 @@ class GaussianMF(FactorModel):
         # until place_tp shards it row-wise — TP exists for state bigger
         # than one chip's HBM, so it must never land whole on a device.
         with host_staging():
-            state = self._initial_state(
+            init = permute_state_rows(
                 pad_state_rows(init_state(self.n_users, self.n_items, cfg),
                                GAUSSIAN_AXIS_OF, layout.n_users_pad,
                                layout.n_items_pad),
-                resume_from)
+                GAUSSIAN_AXIS_OF, bal.u_old_of_new, bal.i_old_of_new)
+            state = self._initial_state(init, resume_from)
         layout, state = place(layout, state, mesh)
 
         def eval_fn(s, ev):
@@ -811,7 +823,9 @@ class GaussianMF(FactorModel):
         if val_df is not None:
             from pmf_tpu.parallel import shard_eval_set
 
-            val = shard_eval_set(self._build_eval(val_df), mesh)
+            val = shard_eval_set(
+                remap_eval(self._build_eval(val_df),
+                           bal.u_new_of_old, bal.i_new_of_old), mesh)
         loop = FitLoop(
             lambda s, lo: sweep_tp(s, lo),
             eval_fn,
@@ -826,6 +840,8 @@ class GaussianMF(FactorModel):
             edge_visits_per_iter=(4 if cfg.use_bias else 2) * layout.nnz,
         )
         state = loop.run(state, layout, val)
+        state = permute_state_rows(state, GAUSSIAN_AXIS_OF,
+                                   bal.u_new_of_old, bal.i_new_of_old)
         self.state = slice_state_rows(state, GAUSSIAN_AXIS_OF,
                                       self.n_users, self.n_items)
         self.fit_history = loop.history

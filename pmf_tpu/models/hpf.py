@@ -419,12 +419,15 @@ class HPF(FactorModel):
         from pmf_tpu.parallel.tp import (
             HPF_AXIS_OF,
             HPF_PAD_ONES,
+            balance_perms,
             build_tp_layout,
             describe_tp,
             dp_degree,
             host_staging,
             pad_state_rows,
+            permute_state_rows,
             place_tp,
+            remap_eval,
             slice_state_rows,
             tp_degree,
             tp_sweep_hpf,
@@ -442,6 +445,16 @@ class HPF(FactorModel):
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items,
                                 len(u))
         self.engine_used = engine
+        # Count-balanced global row ownership (see BalancePerms): rows
+        # deal to devices round-robin in descending count order, so
+        # bucket sizes — and with them both rings' uniform padding —
+        # balance for any popularity layout.  The perms re-derive
+        # deterministically from the train edges on resume.
+        D = tp_degree(mesh)
+        bal = balance_perms(u, i, -(-self.n_users // D) * D,
+                            -(-self.n_items // D) * D, D)
+        ub = bal.u_new_of_old[np.asarray(u)]
+        ib = bal.i_new_of_old[np.asarray(i)]
         if engine.startswith("blocked"):
             # Blocked Pallas kernels INSIDE the ring (VERDICT r3 weak #1:
             # the flat ring paid ~13x vs the blocked engine at exactly
@@ -456,13 +469,12 @@ class HPF(FactorModel):
             precision = {"blocked_fast": "fast", "blocked_mid": "mid",
                          "blocked_high": "high"}.get(engine, "high")
             interpret = jax.default_backend() == "cpu"
-            D = tp_degree(mesh)
             # Per-bucket tile occupancy equals the global one (nnz/D^2
             # edges over (n/D x m/D) rows), so size tiles from the
             # global shape.
             tiles = auto_tiles(self.n_users, self.n_items, len(u))
             layout = build_tp_blocked(
-                u, i, x, self.n_users, self.n_items, D, dtype=self._dtype,
+                ub, ib, x, self.n_users, self.n_items, D, dtype=self._dtype,
                 dp=dp_degree(mesh), block_users=tiles["block_users"],
                 block_items=tiles["block_items"],
                 chunk_size=tiles["chunk_size"], group=tiles["group"])
@@ -472,7 +484,7 @@ class HPF(FactorModel):
                     s, lo, *hyper, mesh=mesh, precision=precision,
                     interpret=interpret))
         else:
-            layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
+            layout = build_tp_layout(ub, ib, x, self.n_users, self.n_items,
                                      tp_degree(mesh), dtype=self._dtype,
                                      dp=dp_degree(mesh))
             place = place_tp
@@ -481,18 +493,21 @@ class HPF(FactorModel):
         # host_staging: full padded state stays on the host CPU until
         # place_tp shards it (TP exists for beyond-one-chip state).
         with host_staging():
-            state = self._initial_state(
+            init = permute_state_rows(
                 pad_state_rows(init_state(self.n_users, self.n_items, cfg),
                                HPF_AXIS_OF, layout.n_users_pad,
                                layout.n_items_pad, ones_keys=HPF_PAD_ONES),
-                resume_from)
+                HPF_AXIS_OF, bal.u_old_of_new, bal.i_old_of_new)
+            state = self._initial_state(init, resume_from)
         layout, state = place(layout, state, mesh)
 
         val = None
         if val_df is not None:
             from pmf_tpu.parallel import shard_eval_set
 
-            val = shard_eval_set(self._build_eval(val_df), mesh)
+            val = shard_eval_set(
+                remap_eval(self._build_eval(val_df),
+                           bal.u_new_of_old, bal.i_new_of_old), mesh)
         loop = FitLoop(
             lambda s, lo: sweep_tp(s, lo),
             eval_metrics,
@@ -507,6 +522,8 @@ class HPF(FactorModel):
             edge_visits_per_iter=2 * layout.nnz,
         )
         state = loop.run(state, layout, val)
+        state = permute_state_rows(state, HPF_AXIS_OF,
+                                   bal.u_new_of_old, bal.i_new_of_old)
         self.state = slice_state_rows(state, HPF_AXIS_OF,
                                       self.n_users, self.n_items)
         self.fit_history = loop.history

@@ -427,12 +427,15 @@ class PoissonMF(FactorModel):
             POISSON_AXIS_OF,
             POISSON_EXT_AXIS_OF,
             POISSON_PAD_ONES,
+            balance_perms,
             build_tp_layout,
             describe_tp,
             dp_degree,
             host_staging,
             pad_state_rows,
+            permute_state_rows,
             place_tp,
+            remap_eval,
             slice_state_rows,
             tp_degree,
             tp_sweep_poisson,
@@ -449,6 +452,14 @@ class PoissonMF(FactorModel):
         engine = resolve_engine(cfg.engine, self.n_users, self.n_items,
                                 len(u))
         self.engine_used = engine
+        # Count-balanced global row ownership (tp.BalancePerms): deal
+        # rows to devices round-robin in descending count order so
+        # bucket sizes — and both rings' uniform padding — balance.
+        D = tp_degree(mesh)
+        bal = balance_perms(u, i, -(-self.n_users // D) * D,
+                            -(-self.n_items // D) * D, D)
+        ub = bal.u_new_of_old[np.asarray(u)]
+        ib = bal.i_new_of_old[np.asarray(i)]
         if engine.startswith("blocked"):
             # Blocked Pallas kernels INSIDE the ring (VERDICT r3 weak #1);
             # the extended variant runs the two-ring Gauss-Seidel form
@@ -467,7 +478,7 @@ class PoissonMF(FactorModel):
             interpret = jax.default_backend() == "cpu"
             tiles = auto_tiles(self.n_users, self.n_items, len(u))
             layout = build_tp_blocked(
-                u, i, x, self.n_users, self.n_items, tp_degree(mesh),
+                ub, ib, x, self.n_users, self.n_items, D,
                 dtype=self._dtype, dp=dp_degree(mesh),
                 block_users=tiles["block_users"],
                 block_items=tiles["block_items"],
@@ -484,8 +495,8 @@ class PoissonMF(FactorModel):
                         s, lo, cfg.a0, cfg.b0, mesh=mesh,
                         precision=precision, interpret=interpret))
         else:
-            layout = build_tp_layout(u, i, x, self.n_users, self.n_items,
-                                     tp_degree(mesh), dtype=self._dtype,
+            layout = build_tp_layout(ub, ib, x, self.n_users, self.n_items,
+                                     D, dtype=self._dtype,
                                      dp=dp_degree(mesh))
             place = place_tp
             sweep_tp = jax.jit(
@@ -495,18 +506,21 @@ class PoissonMF(FactorModel):
         # host_staging: full padded state stays on the host CPU until
         # place_tp shards it (TP exists for beyond-one-chip state).
         with host_staging():
-            state = self._initial_state(
+            init = permute_state_rows(
                 pad_state_rows(init_state(self.n_users, self.n_items, cfg),
                                axis_of, layout.n_users_pad,
                                layout.n_items_pad, ones_keys=POISSON_PAD_ONES),
-                resume_from)
+                axis_of, bal.u_old_of_new, bal.i_old_of_new)
+            state = self._initial_state(init, resume_from)
         layout, state = place(layout, state, mesh)
 
         val = None
         if val_df is not None:
             from pmf_tpu.parallel import shard_eval_set
 
-            val = shard_eval_set(self._build_eval(val_df), mesh)
+            val = shard_eval_set(
+                remap_eval(self._build_eval(val_df),
+                           bal.u_new_of_old, bal.i_new_of_old), mesh)
         loop = FitLoop(
             lambda s, lo: sweep_tp(s, lo),
             lambda s, ev: eval_metrics(s, ev, cfg.extended),
@@ -521,6 +535,8 @@ class PoissonMF(FactorModel):
             edge_visits_per_iter=(4 if cfg.extended else 2) * layout.nnz,
         )
         state = loop.run(state, layout, val)
+        state = permute_state_rows(state, axis_of,
+                                   bal.u_new_of_old, bal.i_new_of_old)
         self.state = slice_state_rows(state, axis_of,
                                       self.n_users, self.n_items)
         self.fit_history = loop.history

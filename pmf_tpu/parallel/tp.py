@@ -245,6 +245,86 @@ def host_staging():
     return jax.default_device(dev)
 
 
+@dataclasses.dataclass(frozen=True)
+class BalancePerms:
+    """Count-balanced GLOBAL row permutations for TP ownership.
+
+    Contiguous row->device ownership is pathological when row ids
+    correlate with popularity (ML-25M-like data sorted by count puts
+    every hot user on device 0): bucket sizes then differ wildly, and
+    both rings pad every bucket to the global max — measured 53.7%
+    dummy-segment padding at D=2 on the 25M-edge Zipf shape
+    (reports/tp_scaling/TP_SCALING_r04, naive row).  Dealing rows to
+    devices ROUND-ROBIN IN DESCENDING COUNT ORDER balances per-device
+    edge totals for ANY popularity distribution (each device receives
+    every D-th rank), while staying a static bijection so state stays
+    row-sharded: new_id = (rank % D) * per + rank // D.
+
+    ``u_old_of_new[n]`` = original padded user row stored at balanced
+    row n; ``u_new_of_old`` is the inverse (likewise items).  The perms
+    are a pure function of (ids, n_pad, D), so checkpoint resume
+    re-derives them; checkpoints themselves store BALANCED padded rows
+    (pre-balance round-3 TP checkpoints are not compatible).
+    """
+
+    u_old_of_new: np.ndarray
+    u_new_of_old: np.ndarray
+    i_old_of_new: np.ndarray
+    i_new_of_old: np.ndarray
+
+
+def _balance_one(ids: np.ndarray, n_pad: int, D: int):
+    per = n_pad // D
+    counts = np.bincount(ids, minlength=n_pad)
+    order = np.argsort(-counts, kind="stable").astype(np.int64)  # rank -> old
+    rank = np.arange(n_pad, dtype=np.int64)
+    new_ids = (rank % D) * per + rank // D                       # rank -> new
+    new_of_old = np.empty(n_pad, np.int32)
+    old_of_new = np.empty(n_pad, np.int32)
+    new_of_old[order] = new_ids
+    old_of_new[new_ids] = order
+    return old_of_new, new_of_old
+
+
+def balance_perms(u, i, n_users_pad: int, n_items_pad: int,
+                  D: int) -> BalancePerms:
+    """Derive the count-balanced global row permutations from the train
+    edges (see :class:`BalancePerms`)."""
+    uo, un = _balance_one(np.asarray(u), n_users_pad, D)
+    io_, in_ = _balance_one(np.asarray(i), n_items_pad, D)
+    return BalancePerms(u_old_of_new=uo, u_new_of_old=un,
+                        i_old_of_new=io_, i_new_of_old=in_)
+
+
+def permute_state_rows(state: dict, axis_of: dict, u_perm, i_perm) -> dict:
+    """Row-gather every state array by the given permutation (old->new
+    with ``*_old_of_new``; pass ``*_new_of_old`` to invert).  Shapes are
+    already padded, so the perms are total."""
+    return {k: v[u_perm if axis_of[k] == "u" else i_perm]
+            for k, v in state.items()}
+
+
+def remap_eval(ev, u_new_of_old, i_new_of_old):
+    """Rewrite an EvalSet's row ids into the balanced row space (the
+    sharded eval gathers rows from the balanced, row-sharded state).
+
+    Ids at or beyond the padded row count (unseen eval users/items —
+    legal: the reference predicts 0 for them, enforced by ``valid``)
+    pass through unchanged; they stay out of range and stay masked."""
+
+    def one(ids, perm):
+        ids = np.asarray(ids)
+        perm = np.asarray(perm)
+        safe = np.minimum(ids, len(perm) - 1)
+        return np.where(ids < len(perm), perm[safe], ids).astype(np.int32)
+
+    return dataclasses.replace(
+        ev,
+        u=one(ev.u, u_new_of_old),
+        i=one(ev.i, i_new_of_old),
+    )
+
+
 def pad_state_rows(state: dict, axis_of: dict, n_users_pad: int,
                    n_items_pad: int, ones_keys=()) -> dict:
     """Pad each state array's leading (row) dimension to the mesh-aligned

@@ -106,6 +106,11 @@ def main(argv=None):
     ap.add_argument("--data_cache", default="data/cache/ml25m_planted_s11.npz")
     ap.add_argument("--out", default="reports/tp_scaling")
     ap.add_argument("--tag", default="r04")
+    ap.add_argument("--no_balance", action="store_true",
+                    help="skip the count-balanced global row deal the "
+                         "production TP facades apply (naive contiguous "
+                         "ownership — pathological on popularity-sorted "
+                         "ids; kept for the before/after account)")
     args = ap.parse_args(argv)
 
     if args.data_cache and os.path.exists(args.data_cache):
@@ -129,11 +134,24 @@ def main(argv=None):
     report = {"tag": args.tag,
               "scale": {"n_users": args.n_users, "n_items": args.n_items,
                         "nnz": int(len(u)), "n_factors": K},
-              "tiles": tiles, "degrees": []}
+              "tiles": tiles,
+              "row_ownership": ("naive contiguous" if args.no_balance else
+                                "count-balanced round-robin deal "
+                                "(parallel.tp.balance_perms — the "
+                                "production fit(mesh=) path)"),
+              "degrees": []}
     base_slots = {}
     for D in [int(s) for s in args.degrees.split(",")]:
         t0 = time.perf_counter()
-        lay = build_tp_blocked(u, i, x, n_users=args.n_users,
+        if args.no_balance:
+            ub, ib = u, i
+        else:
+            from pmf_tpu.parallel.tp import balance_perms
+
+            bal = balance_perms(u, i, -(-args.n_users // D) * D,
+                                -(-args.n_items // D) * D, D)
+            ub, ib = bal.u_new_of_old[u], bal.i_new_of_old[i]
+        lay = build_tp_blocked(ub, ib, x, n_users=args.n_users,
                                n_items=args.n_items, n_devices=D,
                                block_users=tiles["block_users"],
                                block_items=tiles["block_items"],
@@ -182,7 +200,8 @@ def write_md(report, path):
         "",
         f"Real `build_tp_blocked` layouts on the ML-25M Zipf shape "
         f"({s['n_users']:,} x {s['n_items']:,}, {s['nnz']:,} edges, "
-        f"K={s['n_factors']}); exact geometry, no timing.  "
+        f"K={s['n_factors']}), row ownership: {report['row_ownership']}; "
+        "exact geometry, no timing.  "
         "eff(D) = slot-edges/chip at D=1 divided by D x slot-edges/chip "
         "at D — the per-chip kernel-work overhead vs an ideal 1/D split.  "
         "ICI/MXU <= 1 means the ring stays compute-bound (table hops "

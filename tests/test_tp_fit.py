@@ -309,3 +309,55 @@ def test_tp_layout_stays_host_side():
     with host_staging():
         z = jnp.zeros(8)
     assert z.devices() == {jax.local_devices(backend="cpu")[0]}
+
+
+# -- count-balanced global row ownership (parallel.tp.balance_perms) -----
+
+
+def test_balance_perms_bijection_and_balance():
+    """The deal is a bijection, and on popularity-SORTED ids (the
+    pathological case for contiguous ownership: every hot row on device
+    0) the per-device edge totals balance to within one rank's count."""
+    from pmf_tpu.parallel.tp import balance_perms
+
+    rng = np.random.default_rng(0)
+    n_rows, D = 64, 4
+    # Zipf counts sorted descending by id — the adversarial layout.
+    counts = np.sort(rng.zipf(1.3, n_rows).clip(max=500))[::-1]
+    ids = np.repeat(np.arange(n_rows), counts)
+    bal = balance_perms(ids, ids, n_rows, n_rows, D)
+
+    for perm, inv in ((bal.u_old_of_new, bal.u_new_of_old),
+                      (bal.i_old_of_new, bal.i_new_of_old)):
+        assert sorted(perm) == list(range(n_rows))
+        assert np.array_equal(perm[inv], np.arange(n_rows))
+
+    per = n_rows // D
+    new_ids = bal.u_new_of_old[ids]
+    loads = np.bincount(new_ids // per, minlength=D)
+    # Contiguous ownership puts ~all mass on device 0; the deal must
+    # spread it: max/min device load within the largest single count.
+    assert loads.max() - loads.min() <= counts.max()
+    naive = np.bincount(ids // per, minlength=D)
+    assert loads.max() < naive.max()
+
+
+def test_remap_eval_passes_out_of_range_through():
+    """Unseen eval ids (>= padded rows) survive the remap unchanged so
+    the EvalSet's `valid` masking semantics hold."""
+    from pmf_tpu.data.coo import EvalSet
+    from pmf_tpu.parallel.tp import balance_perms, remap_eval
+
+    n = 8
+    bal = balance_perms(np.arange(n), np.arange(n), n, n, 2)
+    u = np.array([0, 3, n + 2], np.int32)
+    i = np.array([1, n + 5, 2], np.int32)
+    ev = EvalSet(u=u, i=i, x=np.zeros(3, np.float32),
+                 real=np.ones(3, bool), valid=np.array([1, 0, 0], bool),
+                 class_id=np.zeros(3, np.int32),
+                 class_value=np.zeros(1, np.float32),
+                 n_rows=3, n_rows_padded=3, n_classes=1)
+    out = remap_eval(ev, bal.u_new_of_old, bal.i_new_of_old)
+    assert out.u[2] == n + 2 and out.i[1] == n + 5
+    assert out.u[0] == bal.u_new_of_old[0]
+    assert out.i[0] == bal.i_new_of_old[1]
