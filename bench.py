@@ -270,8 +270,8 @@ def bench_tp(u, i, x, n_users, n_items, nnz, K, iters, rtt):
     from pmf_tpu.models import hpf
     from pmf_tpu.parallel import make_mesh
     from pmf_tpu.parallel.tp import (
-        HPF_AXIS_OF, HPF_PAD_ONES, build_tp_layout, pad_state_rows,
-        place_tp, tp_sweep_hpf,
+        HPF_AXIS_OF, HPF_PAD_ONES, balance_perms, build_tp_layout,
+        pad_state_rows, place_tp, tp_sweep_hpf,
     )
     from pmf_tpu.parallel.tp_blocked import (
         build_tp_blocked, place_tp_blocked, tp_sweep_hpf_blocked,
@@ -283,6 +283,13 @@ def bench_tp(u, i, x, n_users, n_items, nnz, K, iters, rtt):
     mesh = make_mesh(1)
     out = {}
 
+    # Production fidelity: the fit(mesh=) facades deal rows by count
+    # (tp.balance_perms) before building; at D=1 that is the global
+    # popularity sort.  Scaling shape artifact:
+    # reports/tp_scaling/TP_SCALING_r04.{json,md}.
+    bal = balance_perms(u, i, n_users, n_items, 1)
+    u = bal.u_new_of_old[np.asarray(u)]
+    i = bal.i_new_of_old[np.asarray(i)]
     tiles = auto_tiles(n_users, n_items, nnz)
     t0 = time.perf_counter()
     blk = build_tp_blocked(u, i, x, n_users, n_items, 1,
