@@ -287,13 +287,32 @@ def main(argv=None):
           f"floor RMSE ~{floor:.3f}, bias-only test RMSE "
           f"{report['bias_only_test_rmse']:.4f}", flush=True)
 
+    jpath = os.path.join(args.out, f"CONVERGED_{args.tag}.json")
+
+    def flush_artifact():
+        with open(jpath, "w") as f:
+            json.dump(report, f, indent=1)
+        write_md(report, os.path.join(args.out, f"CONVERGED_{args.tag}.md"))
+
     for name in args.models.split(","):
         name = name.strip()
         print(f"# fitting {name} ...", flush=True)
         budget = args.map_epochs if name.startswith("hpf_map") else args.max_iter
-        rec = fit_one(name, (train, val, test), budget,
-                      args.n_factors, not args.quiet)
+        # Per-model failure isolation (as cli.compare / the reference's
+        # compare_models): one leg dying must not lose the others, and
+        # the artifact flushes after every leg so an interrupted run
+        # keeps its completed results.
+        try:
+            rec = fit_one(name, (train, val, test), budget,
+                          args.n_factors, not args.quiet)
+        except Exception as e:  # noqa: BLE001
+            rec = {"model": name, "failure": f"{type(e).__name__}: {e}"[:400]}
+            print(f"# {name} FAILED: {rec['failure'][:160]}", flush=True)
+            report["models"].append(rec)
+            flush_artifact()
+            continue
         report["models"].append(rec)
+        flush_artifact()
         et = rec["epochs_to_target"] or {}
         print(f"# {name}: test RMSE {rec['test_rmse']:.4f} | "
               f"NDCG@10 {rec['ranking']['ndcg@10']:.4f} | "
@@ -302,10 +321,6 @@ def main(argv=None):
               f"/ {et.get('seconds_to_target', '?')}s to target",
               flush=True)
 
-    jpath = os.path.join(args.out, f"CONVERGED_{args.tag}.json")
-    with open(jpath, "w") as f:
-        json.dump(report, f, indent=1)
-    write_md(report, os.path.join(args.out, f"CONVERGED_{args.tag}.md"))
     print(f"# wrote {jpath}", flush=True)
 
 
@@ -330,6 +345,10 @@ def write_md(report, path):
         "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for m in report["models"]:
+        if "failure" in m:
+            lines.append(f"| {m['model']} | FAILED: {m['failure'][:80]} "
+                         + "| - " * 9 + "|")
+            continue
         et = m.get("epochs_to_target") or {}
         lines.append(
             f"| {m['model']} | {m['iterations_run']} | "
