@@ -498,11 +498,13 @@ class HPFMap(FactorModel):
         engine = ("flat" if cfg.engine == "auto"
                   else resolve_engine(cfg.engine, self.n_users,
                                       self.n_items, nnz))
-        self.engine_used = engine
         blocked = engine.startswith("blocked") and mesh is None
         if engine.startswith("blocked") and mesh is not None and cfg.verbose:
             print("HPFMap: blocked engine has no mesh path yet; using flat "
                   "DP batches", flush=True)
+        # Record what actually runs (the mesh fallback above overrides a
+        # blocked request).
+        self.engine_used = engine if blocked else "flat"
 
         params = init_params(self.n_users, self.n_items, cfg)
         optimizer = optax.adam(cfg.lr)
