@@ -514,6 +514,30 @@ def _load_converged(path="reports/converged/CONVERGED_r04.json"):
     }
 
 
+def _load_tp_scaling(path="reports/tp_scaling/TP_SCALING_r04.json"):
+    """Compact summary of the committed TP scaling-shape artifact
+    (scripts/tp_scaling_shape.py): per-degree slot efficiency and the
+    ICI:MXU table-rotation ratios that bound multi-chip TP rates."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               path)) as f:
+            full = json.load(f)
+    except Exception:
+        return None
+    return {
+        "row_ownership": full.get("row_ownership"),
+        "degrees": [
+            {"D": e["D"],
+             "eff_by_user": e["by_user"]["slot_scaling_efficiency"],
+             "eff_by_item": e["by_item"]["slot_scaling_efficiency"],
+             "hpf_ici_to_mxu": e["by_user"]["ici_to_mxu_ratio"],
+             "gaussian_ici_to_mxu": e.get("gaussian_ici_to_mxu_ratio")}
+            for e in full.get("degrees", [])
+        ],
+        "artifact": path,
+    }
+
+
 def _git_rev():
     try:
         import subprocess
@@ -637,6 +661,9 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
                     # of the committed converged ML-25M run artifact, if
                     # scripts/converged_ml25m.py has produced it.
                     "converged_ml25m": _load_converged(),
+                    # Committed TP scaling-shape geometry (exact per-chip
+                    # work at D in {1,2,4,8} from the real 25M layouts).
+                    "tp_scaling": _load_tp_scaling(),
                     "gaussian_blocked_high": g,
                     "gaussian_diag_blocked_high": gdiag,
                     "extended_poisson_blocked_high": ext,
