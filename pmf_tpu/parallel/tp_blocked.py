@@ -270,6 +270,14 @@ def build_tp_blocked(
         est_chunks = max((len(u) / max(D * D * dp, 1)) / chunk_size, 1.0)
         avg = max(est_chunks / blocks, 1.0)
         seg = min(4096, max(group, int(16 * avg)))
+        # Segment-quantization guard: when a bucket only fills a couple
+        # of segments, the ceil to whole segments wastes up to one
+        # segment per bucket (measured at D=8 on the 25M layout: ~1.9
+        # segments of the unguarded size -> by_item occupancy 0.470;
+        # capping at a quarter of the expected bucket chunks restores
+        # the chunk-padding floor, 0.676 — reports/tp_scaling/
+        # TP_SCALING_r04.md).  Inactive at D=1 where est_chunks is huge.
+        seg = min(seg, max(group, int(est_chunks / 4)))
         return max(group, (seg // group) * group)
 
     by_user = _build_dir(

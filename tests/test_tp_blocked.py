@@ -318,3 +318,32 @@ def test_gaussian_fit_tp_lagged_facade(small_splits, mesh8):
         GaussianMF(GaussianMFConfig(engine="flat", **base)).fit(
             train, val, global_mean=mean, mesh=mesh8,
             state_sharding="rows")
+
+
+def test_segment_quantization_guard_geometry():
+    """The segment-size guard (`build_tp_blocked.seg_for`) caps segments
+    at a quarter of the EXPECTED bucket chunks: without it a bucket that
+    only fills ~2 segments of the popularity-heuristic size pads up to a
+    whole extra segment of dead slots per (d, s) bucket (measured 0.470
+    by_item slot occupancy at D=8 on the real 25M layout; 0.676 with the
+    guard — reports/tp_scaling/TP_SCALING_r04.md)."""
+    from pmf_tpu.parallel.tp_blocked import build_tp_blocked
+
+    rng = np.random.default_rng(0)
+    nnz, n_users, n_items, D = 4096, 128, 128, 4
+    u = rng.integers(0, n_users, nnz)
+    i = rng.integers(0, n_items, nnz)
+    x = rng.integers(1, 6, nnz).astype(np.float64)
+    kw = dict(block_users=16, block_items=16, chunk_size=8, group=2)
+
+    lay = build_tp_blocked(u, i, x, n_users, n_items, D, **kw)
+    # est_chunks = 4096 / D^2 / 8 = 32 -> cap = max(group, 32 // 4) = 8.
+    # The unguarded heuristic would pick 16 * (32 / ceil(32/16)) = 256.
+    assert lay.by_user.seg_chunks == 8
+    assert lay.by_item.seg_chunks == 8
+
+    # Slot occupancy floor: with segments near the expected bucket size
+    # the padding is bounded by chunk quantization, not whole segments.
+    for dirn in (lay.by_user, lay.by_item):
+        slots = dirn.sb.size * dirn.chunk_size  # D*D*n_seg*SEG*C
+        assert nnz / slots > 0.25, (nnz, slots)
