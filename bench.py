@@ -551,25 +551,67 @@ def _git_rev():
         return None
 
 
+def _bench_fail_json(failure: str, message: str) -> None:
+    print(json.dumps({
+        "metric": "hpf_cavi_rating_updates_per_sec_per_chip",
+        "value": None, "unit": "updates/s", "vs_baseline": None,
+        "detail": {"failure": failure, "message": message,
+                   "git_rev": _git_rev()},
+    }), flush=True)
+
+
 def _device_init_guard(timeout_s: float = 600.0):
-    """The axon TPU tunnel's claim leg can wedge INDEFINITELY (the client
-    retries a dead local relay forever, holding no connection), which
-    would hang the whole bench run.  Initialize the backend under a
-    watchdog: if `jax.devices()` hasn't returned in ``timeout_s``, print
-    a well-formed failure JSON line and exit so the harness records the
-    outage instead of timing out silently."""
+    """The axon TPU tunnel has two distinct outage modes and the bench
+    must emit a well-formed JSON line (not a traceback / silent hang)
+    under both, because the harness runs it unattended:
+
+    * the claim leg can wedge INDEFINITELY (client retries a dead local
+      relay forever) — covered by a watchdog around the in-process init;
+    * the backend can fail FAST with UNAVAILABLE (relay up, TPU side
+      down — the 2026-08-17 outage signature) — covered by bounded
+      subprocess probes BEFORE the in-process init: a failed in-process
+      `jax.devices()` poisons jax's backend cache for the life of the
+      process, so retrying must happen in a child.  Window tunable via
+      PMF_TPU_BENCH_CLAIM_RETRY_S (default 30 min, 0 disables probing).
+    """
+    import subprocess
     import threading
 
+    retry_s = float(os.environ.get("PMF_TPU_BENCH_CLAIM_RETRY_S", "1800"))
+    if retry_s > 0:
+        deadline = time.time() + retry_s
+        last = ""
+        while True:
+            # Cap each probe at the REMAINING window: in the slow outage
+            # mode one jax.devices() attempt retries internally for tens
+            # of minutes before raising, so a fixed per-probe timeout
+            # could overshoot the window; and the internal retrying means
+            # a long-leashed probe doubles as waiting for recovery.
+            remaining = deadline - time.time()
+            if remaining <= 1.0:
+                _bench_fail_json(
+                    "tpu_unavailable",
+                    f"backend init kept failing for {retry_s:.0f}s; "
+                    f"last error: {last}")
+                os._exit(3)
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True, text=True, timeout=remaining)
+                if r.returncode == 0:
+                    break
+                tail = (r.stderr or r.stdout).strip().splitlines()
+                last = tail[-1][:240] if tail else f"exit {r.returncode}"
+            except subprocess.TimeoutExpired:
+                last = (f"claim probe still waiting at the "
+                        f"{retry_s:.0f}s window edge")
+            time.sleep(min(60.0, max(0.0, deadline - time.time())))
+
     def _bail():
-        print(json.dumps({
-            "metric": "hpf_cavi_rating_updates_per_sec_per_chip",
-            "value": None, "unit": "updates/s", "vs_baseline": None,
-            "detail": {"failure": "tpu_unreachable",
-                       "message": f"jax.devices() did not return within "
-                                  f"{timeout_s:.0f}s — axon tunnel claim "
-                                  f"leg wedged (no local relay listener)",
-                       "git_rev": _git_rev()},
-        }), flush=True)
+        _bench_fail_json(
+            "tpu_unreachable",
+            f"jax.devices() did not return within {timeout_s:.0f}s — "
+            f"axon tunnel claim leg wedged (no local relay listener)")
         os._exit(3)
 
     t = threading.Timer(timeout_s, _bail)
