@@ -139,7 +139,10 @@ def _build_pass(
                                  return_counts=False)
     else:
         order = np.lexsort((ob, sb))
-    s, o, x, sb, ob = s[order], o[order], x[order], sb[order], ob[order]
+    # Only (s, o, x, tile_key) are consumed per-edge after the sort —
+    # permuting sb/ob too was two more 25M-scale random gathers on a host
+    # whose memory path is the build bottleneck.
+    s, o, x = s[order], o[order], x[order]
     tile_key = tile_key[order]
 
     # Tile runs: consecutive edges sharing (sb, ob) — tile_key is sorted, so
@@ -255,9 +258,10 @@ def _build_pass(
         chunk_base_per_tile = np.concatenate(
             [[0], np.cumsum(n_chunks_per_tile)[:-1]]
         )
-        edge_tile = np.repeat(np.arange(n_tiles), counts)
-        edge_rank = np.arange(len(s)) - starts[edge_tile]
-        edge_chunk = chunk_base_per_tile[edge_tile] + edge_rank // C
+        # Sequential repeats, not per-edge gathers: repeat(small, counts)
+        # streams; small[edge_tile] random-gathers 25M-scale indices.
+        edge_rank = np.arange(len(s)) - np.repeat(starts, counts)
+        edge_chunk = np.repeat(chunk_base_per_tile, counts) + edge_rank // C
         edge_final = (
             pos_to_slot[padded_pos[edge_chunk]] * C + edge_rank % C
         )
@@ -573,7 +577,6 @@ def build_blocked(
 
     if not reorder:
         raise ValueError("head requires reorder=True (head = top-count corner)")
-    import ml_dtypes
 
     u_counts = np.bincount(u, minlength=n_users)
     i_counts = np.bincount(i, minlength=n_items)
@@ -587,7 +590,10 @@ def build_blocked(
     ni = item_new_of_old[i]
 
     x32 = x.astype(np.float32)
-    exact = np.array_equal(x32.astype(ml_dtypes.bfloat16).astype(np.float32), x32)
+    # bf16-exact iff the low 16 mantissa bits of every f32 are zero (one
+    # cheap bit-test pass; the astype round-trip materialized two more
+    # 25M-scale temporaries on the allocation-bound build host).
+    exact = not bool(np.any(x32.view(np.uint32) & np.uint32(0xFFFF)))
     cell_bytes = 4 if exact else 6  # x_hi + m (+ x_lo)
     if head == "auto":
         r0 = head_r0
