@@ -189,4 +189,42 @@ void pmf_radix_argsort(const int32_t* keys, int64_t n, int32_t n_keys,
   }
 }
 
+// Fused edge scatter for the blocked layout build (pmf_tpu/data/blocked
+// .py:_build_pass).  One sequential pass over sort-ordered edges derives
+// each edge's final chunk slot from the tile run table and writes the
+// packed local indices and the f32 payload directly — replacing ~15
+// full-array numpy passes (the s/o/x permutes by `order`, repeat/arange
+// rank bookkeeping, div/mod temporaries, and two fancy-index scatters)
+// on the single-core build host.
+//
+//   order[e]            original index of the e-th edge in sort order
+//   tile_starts[t]      first sorted-edge index of tile t (ascending)
+//   chunk_base[t]       index of tile t's first real chunk
+//   slot_of_chunk[c]    final chunk slot of real chunk c
+//   x64 / x32           exactly one non-null payload pointer
+//
+// packed is pre-filled with pad_packed and fx with zeros (padding slots).
+void pmf_scatter_edges(const int32_t* s, const int32_t* o,
+                       const double* x64, const float* x32,
+                       const int64_t* order, int64_t n,
+                       const int64_t* tile_starts, int64_t n_tiles,
+                       const int64_t* chunk_base,
+                       const int64_t* slot_of_chunk,
+                       int32_t bs_self, int32_t bs_other, int32_t C,
+                       int32_t pad_packed, int64_t total_slots,
+                       int32_t* packed, float* fx) {
+  std::fill(packed, packed + total_slots, pad_packed);
+  memset(fx, 0, sizeof(float) * total_slots);
+  int64_t tile = 0;
+  for (int64_t e = 0; e < n; ++e) {
+    while (tile + 1 < n_tiles && e >= tile_starts[tile + 1]) ++tile;
+    int64_t rank = e - tile_starts[tile];
+    int64_t chunk = chunk_base[tile] + rank / C;
+    int64_t slot = slot_of_chunk[chunk] * C + rank % C;
+    int64_t j = order[e];
+    packed[slot] = ((s[j] % bs_self) << 16) | (o[j] % bs_other);
+    fx[slot] = x64 ? static_cast<float>(x64[j]) : x32[j];
+  }
+}
+
 }  // extern "C"

@@ -132,22 +132,35 @@ def _build_pass(
     # key space are ~10x faster (numpy fallback kept for huge key spaces).
     tile_key = sb.astype(np.int64) * n_other_blocks + ob
     n_tile_keys = n_self_blocks * n_other_blocks
+    key_counts = None
     if n_tile_keys <= (1 << 26) and len(s):
         from pmf_tpu.data.native import radix_argsort
 
-        order, _ = radix_argsort(tile_key.astype(np.int32), int(n_tile_keys),
-                                 return_counts=False)
+        # The radix counting passes produce per-key counts for free; for
+        # modest key spaces take them and skip the tile_key permute +
+        # run-boundary diff below (two fewer 25M-scale passes).  Above
+        # ~4M keys the dense counts buffer itself gets expensive.
+        want_counts = n_tile_keys <= (1 << 22)
+        order, key_counts = radix_argsort(
+            tile_key.astype(np.int32), int(n_tile_keys),
+            return_counts=want_counts)
     else:
         order = np.lexsort((ob, sb))
-    # Only (s, o, x, tile_key) are consumed per-edge after the sort —
-    # permuting sb/ob too was two more 25M-scale random gathers on a host
-    # whose memory path is the build bottleneck.
-    s, o, x = s[order], o[order], x[order]
-    tile_key = tile_key[order]
+    # s/o/x stay UNSORTED here: the native fused scatter reads them
+    # through `order` in its single pass, and the numpy fallback permutes
+    # them lazily at the scatter site.  (sb/ob are never consumed
+    # per-edge after the sort at all.)
 
-    # Tile runs: consecutive edges sharing (sb, ob) — tile_key is sorted, so
-    # run boundaries come from one diff pass instead of np.unique's re-sort.
-    if len(tile_key):
+    # Tile runs: consecutive edges sharing (sb, ob).
+    if key_counts is not None:
+        # Stable ascending key sort: occupied keys in order ARE the runs.
+        uniq = np.flatnonzero(key_counts)
+        counts = key_counts[uniq]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    elif len(tile_key):
+        # tile_key is sorted after the permute, so run boundaries come
+        # from one diff pass instead of np.unique's re-sort.
+        tile_key = tile_key[order]
         change = np.flatnonzero(tile_key[1:] != tile_key[:-1]) + 1
         starts = np.concatenate([[0], change])
         uniq = tile_key[starts]
@@ -252,24 +265,43 @@ def _build_pass(
     # chunk's edges along sublanes, which is the layout the kernel's
     # one-hot compares want (and satisfies Mosaic block-shape rules).
     pad_packed = np.int32((bs_self << 16) | bs_other)
-    packed = np.full(final_chunks * C, pad_packed, dtype=np.int32)
-    f_x = np.zeros(final_chunks * C, dtype=dtype)
+    total_slots = final_chunks * C
+    native_out = None
     if len(s):
         chunk_base_per_tile = np.concatenate(
             [[0], np.cumsum(n_chunks_per_tile)[:-1]]
         )
-        # Sequential repeats, not per-edge gathers: repeat(small, counts)
-        # streams; small[edge_tile] random-gathers 25M-scale indices.
-        edge_rank = np.arange(len(s)) - np.repeat(starts, counts)
-        edge_chunk = np.repeat(chunk_base_per_tile, counts) + edge_rank // C
-        edge_final = (
-            pos_to_slot[padded_pos[edge_chunk]] * C + edge_rank % C
-        )
-        packed[edge_final] = (
-            ((s % bs_self).astype(np.int32) << 16)
-            | (o % bs_other).astype(np.int32)
-        )
-        f_x[edge_final] = x.astype(dtype)
+        slot_of_chunk = pos_to_slot[padded_pos]
+        if np.dtype(dtype) == np.float32:
+            # Fused native pass: permute + pack + scatter in one loop
+            # over edges (native/ingest.cpp:pmf_scatter_edges) — the
+            # numpy formulation below makes ~15 full-array passes.
+            from pmf_tpu.data.native import scatter_edges
+
+            native_out = scatter_edges(
+                s, o, x, order, starts, chunk_base_per_tile,
+                slot_of_chunk, bs_self, bs_other, C, int(pad_packed),
+                total_slots)
+    if native_out is not None:
+        packed, f_x = native_out
+    else:
+        packed = np.full(total_slots, pad_packed, dtype=np.int32)
+        f_x = np.zeros(total_slots, dtype=dtype)
+        if len(s):
+            s, o, x = s[order], o[order], x[order]
+            # Sequential repeats, not per-edge gathers: repeat(small,
+            # counts) streams; small[edge_tile] random-gathers 25M-scale
+            # indices.
+            edge_rank = np.arange(len(s)) - np.repeat(starts, counts)
+            edge_chunk = (
+                np.repeat(chunk_base_per_tile, counts) + edge_rank // C
+            )
+            edge_final = slot_of_chunk[edge_chunk] * C + edge_rank % C
+            packed[edge_final] = (
+                ((s % bs_self).astype(np.int32) << 16)
+                | (o % bs_other).astype(np.int32)
+            )
+            f_x[edge_final] = x.astype(dtype)
     return BlockedPass(
         loc=jnp.asarray(packed[:, None]),
         x=jnp.asarray(f_x[:, None]),

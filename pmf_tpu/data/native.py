@@ -80,8 +80,59 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pmf_scatter_edges.restype = None
+        lib.pmf_scatter_edges.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
         return _lib
+
+
+def scatter_edges(s, o, x, order, tile_starts, chunk_base, slot_of_chunk,
+                  bs_self: int, bs_other: int, C: int, pad_packed: int,
+                  total_slots: int):
+    """Fused permute+pack+scatter of edges into the final blocked layout
+    (`native/ingest.cpp:pmf_scatter_edges`); returns (packed, f_x) or None
+    when the native library is unavailable or the payload dtype is not
+    f32/f64 (callers keep the numpy path as fallback)."""
+    lib = get_lib()
+    if lib is None or x.dtype not in (np.float32, np.float64):
+        return None
+    s32 = np.ascontiguousarray(s, dtype=np.int32)
+    o32 = np.ascontiguousarray(o, dtype=np.int32)
+    xc = np.ascontiguousarray(x)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    tile_starts = np.ascontiguousarray(tile_starts, dtype=np.int64)
+    chunk_base = np.ascontiguousarray(chunk_base, dtype=np.int64)
+    slot_of_chunk = np.ascontiguousarray(slot_of_chunk, dtype=np.int64)
+    packed = np.empty(total_slots, dtype=np.int32)
+    f_x = np.empty(total_slots, dtype=np.float32)
+    p64 = ctypes.POINTER(ctypes.c_double)
+    p32f = ctypes.POINTER(ctypes.c_float)
+    lib.pmf_scatter_edges(
+        s32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        o32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        xc.ctypes.data_as(p64) if xc.dtype == np.float64 else None,
+        xc.ctypes.data_as(p32f) if xc.dtype == np.float32 else None,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(s32),
+        tile_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(tile_starts),
+        chunk_base.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        slot_of_chunk.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(bs_self), int(bs_other), int(C),
+        int(pad_packed), int(total_slots),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        f_x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return packed, f_x
 
 
 def parse_interactions_csv(path: str, columns=("u", "i", "rating"), n_threads: int = 0):
