@@ -58,6 +58,7 @@ def ranking_metrics(
     test_i: np.ndarray,
     ks=(10, 50),
     batch: int = 2048,
+    edge_chunk: int = 4 << 20,
 ) -> dict:
     """Exact recall@k / NDCG@k / mean rank of held-out (test_u, test_i)
     pairs under dot-product scores, excluding each user's own training
@@ -89,15 +90,33 @@ def ranking_metrics(
         t[s:e] = np.asarray(tb)
         rank_all[s:e] = np.asarray(rb)
 
-    # Train-item correction: per-user threshold table + one edge pass.
+    # Train-item correction: per-user threshold table + an edge pass in
+    # bounded chunks.  One whole-nnz program OOMs HBM at ML-25M scale
+    # (the theta/beta edge gathers alone are ~2 GiB each at 24.5M edges;
+    # XLA's fusion temporaries pushed the single-shot compile to 23.5 GiB
+    # on a 16 GiB v5e chip), so the pass scans fixed-size chunks of the
+    # user-sorted edges: per-user counts are additive across chunks, and
+    # the tail chunk pads with segment id n_users (dropped by
+    # sorted_segment_sum, gather clipped) keeping one compiled shape.
     thresholds = np.full((n_users, T), np.inf, dtype=np.float32)
     thresholds[test_u, slot] = t
     t_order = np.argsort(train_u, kind="stable")
-    tu = jnp.asarray(np.asarray(train_u)[t_order].astype(np.int32))
-    ti = jnp.asarray(np.asarray(train_i)[t_order].astype(np.int32))
-    higher_train = np.asarray(
-        _train_higher_counts(theta, beta, tu, ti, jnp.asarray(thresholds), n_users)
-    )
+    tu_np = np.asarray(train_u)[t_order].astype(np.int32)
+    ti_np = np.asarray(train_i)[t_order].astype(np.int32)
+    thr_dev = jnp.asarray(thresholds)
+    nnz = len(tu_np)
+    higher_train = np.zeros((n_users, T), dtype=np.float64)
+    for s in range(0, max(nnz, 1), edge_chunk):
+        e = min(s + edge_chunk, nnz)
+        cu, ci = tu_np[s:e], ti_np[s:e]
+        if nnz > edge_chunk and e - s < edge_chunk:
+            pad = edge_chunk - (e - s)
+            cu = np.concatenate([cu, np.full(pad, n_users, np.int32)])
+            ci = np.concatenate([ci, np.zeros(pad, np.int32)])
+        higher_train += np.asarray(
+            _train_higher_counts(theta, beta, jnp.asarray(cu), jnp.asarray(ci),
+                                 thr_dev, n_users)
+        )
 
     # A held-out pair that ALSO occurs in train (duplicate interactions
     # survive the reference's split) would subtract its own score here and

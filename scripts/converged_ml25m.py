@@ -122,8 +122,12 @@ def fit_one(name, splits, max_iter, K, verbose):
     if name == "hpf_cavi":
         from pmf_tpu.models.hpf import HPF, HPFConfig
 
+        # tol 1e-5 (vs the CLI default 1e-4): HPF plateaus within a few
+        # iterations on this data; the tighter tolerance runs the fit to a
+        # genuine flat plateau so the sustained-rate average is not
+        # dominated by the first (warmup) iteration.
         cfg = HPFConfig(n_factors=K, a=0.3, a_prime=1.0, b_prime=1.0, c=0.3,
-                        c_prime=1.0, d_prime=1.0, max_iter=max_iter, tol=1e-4,
+                        c_prime=1.0, d_prime=1.0, max_iter=max_iter, tol=1e-5,
                         verbose=verbose)
         model = HPF(cfg)
         model.fit((tu, ti, tx + 1.0), (vu, vi, vx + 1.0))
@@ -241,6 +245,12 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (handled pre-import; smoke "
                          "tests only)")
+    ap.add_argument("--merge", action="store_true",
+                    help="load an existing <out>/CONVERGED_<tag>.json and "
+                         "replace/append only the legs named in --models — "
+                         "lets each leg run in its OWN process (device-"
+                         "allocator isolation: one leg's HBM high-water "
+                         "mark cannot starve the next leg's compile)")
     ap.add_argument("--data_cache", default="",
                     help="npz path caching the generated (u, i, x, floor) "
                          "so interrupted runs skip the single-core "
@@ -288,6 +298,13 @@ def main(argv=None):
           f"{report['bias_only_test_rmse']:.4f}", flush=True)
 
     jpath = os.path.join(args.out, f"CONVERGED_{args.tag}.json")
+    rerun = {m.strip() for m in args.models.split(",")}
+    if args.merge and os.path.exists(jpath):
+        with open(jpath) as f:
+            prior = json.load(f)
+        # Keep prior legs not being re-run, in their original order.
+        report["models"] = [m for m in prior.get("models", [])
+                            if m.get("model") not in rerun]
 
     def flush_artifact():
         with open(jpath, "w") as f:
@@ -306,7 +323,13 @@ def main(argv=None):
             rec = fit_one(name, (train, val, test), budget,
                           args.n_factors, not args.quiet)
         except Exception as e:  # noqa: BLE001
-            rec = {"model": name, "failure": f"{type(e).__name__}: {e}"[:400]}
+            import traceback
+
+            tb = traceback.format_exc().splitlines()
+            site = next((l.strip() for l in reversed(tb)
+                         if l.lstrip().startswith("File ")), "")
+            rec = {"model": name, "failure": f"{type(e).__name__}: {e}"[:400],
+                   "failure_site": site[:200]}
             print(f"# {name} FAILED: {rec['failure'][:160]}", flush=True)
             report["models"].append(rec)
             flush_artifact()

@@ -51,6 +51,28 @@ def test_ranking_matches_naive():
     assert abs(got["ndcg@10"] - want["ndcg@10"]) < 1e-6
 
 
+def test_ranking_chunked_edge_pass_matches_single_shot():
+    """The train-correction edge pass scans fixed-size chunks at scale
+    (one whole-nnz program OOMs HBM at 24.5M edges); a tiny edge_chunk
+    forces chunking + tail padding and must reproduce the single-shot
+    counts exactly."""
+    rng = np.random.default_rng(3)
+    n_users, n_items, K = 50, 70, 4
+    theta = rng.standard_normal((n_users, K)).astype(np.float32)
+    beta = rng.standard_normal((n_items, K)).astype(np.float32)
+    train_u = rng.integers(0, n_users, 500)
+    train_i = rng.integers(0, n_items, 500)
+    test_u = np.arange(n_users)
+    test_i = rng.integers(0, n_items, n_users)
+
+    one = ranking_metrics(theta, beta, train_u, train_i, test_u, test_i,
+                          ks=(10,))
+    # 96-edge chunks: 500 edges -> 5 full chunks + a padded 20-edge tail.
+    chunked = ranking_metrics(theta, beta, train_u, train_i, test_u, test_i,
+                              ks=(10,), edge_chunk=96)
+    assert one == chunked
+
+
 def test_ranking_perfect_model():
     """A model that scores the held-out item highest must get recall@1 == 1."""
     n_users, n_items = 10, 30
