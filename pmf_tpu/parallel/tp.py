@@ -413,7 +413,7 @@ def _pad_row(a):
     return jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
 
 
-def tp_sweep_gaussian(
+def _tp_sweep_gaussian_impl(
     state: dict,
     layout: TPLayout,
     sigma2,
@@ -425,9 +425,6 @@ def tp_sweep_gaussian(
     covariance: str,
     mesh,
 ):
-    """One full Gaussian CAVI iteration with row-sharded state — the
-    reference's exact block order (theta, beta, b_user, b_item,
-    `gaussian_mf_cavi_bias.py:125-263`) as four ring passes."""
     D = layout.n_devices
     info = _mesh_info(mesh)
     ring_ax, dp_ax = info["ring"], info["dp"]
@@ -559,6 +556,38 @@ def tp_sweep_gaussian(
                   jnp.asarray(eta_beta2, dt), jnp.asarray(eta_bias2, dt))
 
 
+@partial(jax.jit, static_argnames=("use_bias", "covariance", "mesh"))
+def _gaussian_flat_jit(state, layout, scal, *, use_bias, covariance, mesh):
+    return _tp_sweep_gaussian_impl(state, layout, *scal, use_bias=use_bias,
+                                   covariance=covariance, mesh=mesh)
+
+
+def tp_sweep_gaussian(
+    state: dict,
+    layout: TPLayout,
+    sigma2,
+    eta_theta2,
+    eta_beta2,
+    eta_bias2,
+    *,
+    use_bias: bool,
+    covariance: str,
+    mesh,
+):
+    """One full Gaussian CAVI iteration with row-sharded state — the
+    reference's exact block order (theta, beta, b_user, b_item,
+    `gaussian_mf_cavi_bias.py:125-263`) as four ring passes.
+
+    Dispatches through a module-level jitted entry (the impl builds a
+    fresh `shard_map` closure, so an uncached direct call would re-trace
+    every sweep — see `tp_blocked.tp_sweep_hpf_blocked`)."""
+    dt = state["m_theta"].dtype
+    scal = tuple(jnp.asarray(v, dt) for v in
+                 (sigma2, eta_theta2, eta_beta2, eta_bias2))
+    return _gaussian_flat_jit(state, layout, scal, use_bias=use_bias,
+                              covariance=covariance, mesh=mesh)
+
+
 GAUSSIAN_AXIS_OF = {"m_theta": "u", "V_theta": "u", "b_user": "u",
                     "m_beta": "i", "V_beta": "i", "b_item": "i"}
 
@@ -573,15 +602,8 @@ POISSON_EXT_AXIS_OF = {**POISSON_AXIS_OF, "a_phi": "u", "b_phi": "u",
 POISSON_PAD_ONES = ("b_theta", "b_beta", "b_phi", "b_psi")
 
 
-def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
-                     extended: bool, mesh):
-    """One full Poisson-MF CAVI iteration with row-sharded Gamma state —
-    the reference's user-block -> refresh -> item-block order
-    (`poisson_mf_cavi.py:86-219`); the extended variant additionally
-    updates the scalar activity factors with the per-row Gauss-Seidel
-    refresh (`poisson_mf_extended_cavi.py:110-164`) as a SECOND ring pass
-    per side (the scalar rate needs the freshly updated factor rows, which
-    exist only after the factor pass's full ring completes)."""
+def _tp_sweep_poisson_impl(state: dict, layout: TPLayout, a0, b0, *,
+                           extended: bool, mesh):
     from pmf_tpu.models.poisson_mf import RATE_FLOOR
 
     D = layout.n_devices
@@ -708,12 +730,30 @@ def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
                   jnp.asarray(a0, dt), jnp.asarray(b0, dt))
 
 
-def tp_sweep_hpf(state: dict, layout: TPLayout, a, a_prime, b_prime,
-                 c, c_prime, d_prime, *, mesh):
-    """One full HPF CAVI iteration with row-sharded Gamma state — the
-    reference's exact theta -> xi -> beta -> eta block order with
-    expectation refreshes between blocks (`hpf_cavi.py:121-193`) as two
-    ring passes (the xi/eta blocks are row-local)."""
+@partial(jax.jit, static_argnames=("extended", "mesh"))
+def _poisson_flat_jit(state, layout, a0, b0, *, extended, mesh):
+    return _tp_sweep_poisson_impl(state, layout, a0, b0, extended=extended,
+                                  mesh=mesh)
+
+
+def tp_sweep_poisson(state: dict, layout: TPLayout, a0, b0, *,
+                     extended: bool, mesh):
+    """One full Poisson-MF CAVI iteration with row-sharded Gamma state —
+    the reference's user-block -> refresh -> item-block order
+    (`poisson_mf_cavi.py:86-219`); the extended variant additionally
+    updates the scalar activity factors with the per-row Gauss-Seidel
+    refresh (`poisson_mf_extended_cavi.py:110-164`) as a SECOND ring pass
+    per side (the scalar rate needs the freshly updated factor rows, which
+    exist only after the factor pass's full ring completes).  Jitted
+    dispatch: see `tp_sweep_gaussian`."""
+    dt = state["a_theta"].dtype
+    return _poisson_flat_jit(state, layout, jnp.asarray(a0, dt),
+                             jnp.asarray(b0, dt), extended=extended,
+                             mesh=mesh)
+
+
+def _tp_sweep_hpf_impl(state: dict, layout: TPLayout, a, a_prime, b_prime,
+                       c, c_prime, d_prime, *, mesh):
     from pmf_tpu.models.hpf import RATE_FLOOR
 
     D = layout.n_devices
@@ -789,3 +829,21 @@ def tp_sweep_hpf(state: dict, layout: TPLayout, a, a_prime, b_prime,
                   jnp.asarray(a, dt), jnp.asarray(a_prime, dt),
                   jnp.asarray(b_prime, dt), jnp.asarray(c, dt),
                   jnp.asarray(c_prime, dt), jnp.asarray(d_prime, dt))
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _hpf_flat_jit(state, layout, scal, *, mesh):
+    return _tp_sweep_hpf_impl(state, layout, *scal, mesh=mesh)
+
+
+def tp_sweep_hpf(state: dict, layout: TPLayout, a, a_prime, b_prime,
+                 c, c_prime, d_prime, *, mesh):
+    """One full HPF CAVI iteration with row-sharded Gamma state — the
+    reference's exact theta -> xi -> beta -> eta block order with
+    expectation refreshes between blocks (`hpf_cavi.py:121-193`) as two
+    ring passes (the xi/eta blocks are row-local).  Jitted dispatch: see
+    `tp_sweep_gaussian`."""
+    dt = state["a_theta"].dtype
+    scal = tuple(jnp.asarray(v, dt)
+                 for v in (a, a_prime, b_prime, c, c_prime, d_prime))
+    return _hpf_flat_jit(state, layout, scal, mesh=mesh)

@@ -465,15 +465,11 @@ def _blocked_ring_pass(
     return acc[:s_per, :K], acc[:s_per, K:]
 
 
-def tp_sweep_hpf_blocked(
+def _tp_sweep_hpf_blocked_impl(
     state: dict, layout: TPBlockedLayout, a, a_prime, b_prime,
     c, c_prime, d_prime, *, mesh, precision: str = "high",
     interpret: bool = False,
 ):
-    """One full HPF CAVI iteration, row-sharded, with the blocked Pallas
-    kernel inside the ring — the reference's exact theta -> xi -> beta ->
-    eta order (`/root/reference/src/models/hpf_cavi.py:121-193`), same
-    fixed point as `pmf_tpu.parallel.tp.tp_sweep_hpf` to kernel rounding."""
     from pmf_tpu.models.hpf import RATE_FLOOR
 
     parts = {"fast": 1, "mid": 2, "high": 3, "highest": 1}[precision]
@@ -549,13 +545,42 @@ def tp_sweep_hpf_blocked(
                   layout.item_counts, scal)
 
 
-def tp_sweep_poisson_blocked(
+@partial(jax.jit, static_argnames=("mesh", "precision", "interpret"))
+def _hpf_blocked_jit(state, layout, scal, *, mesh, precision, interpret):
+    return _tp_sweep_hpf_blocked_impl(state, layout, *scal, mesh=mesh,
+                                      precision=precision,
+                                      interpret=interpret)
+
+
+def tp_sweep_hpf_blocked(
+    state: dict, layout: TPBlockedLayout, a, a_prime, b_prime,
+    c, c_prime, d_prime, *, mesh, precision: str = "high",
+    interpret: bool = False,
+):
+    """One full HPF CAVI iteration, row-sharded, with the blocked Pallas
+    kernel inside the ring — the reference's exact theta -> xi -> beta ->
+    eta order (`/root/reference/src/models/hpf_cavi.py:121-193`), same
+    fixed point as `pmf_tpu.parallel.tp.tp_sweep_hpf` to kernel rounding.
+
+    Dispatches through one module-level jitted entry per family (the
+    impl builds a fresh `shard_map` closure, so an UNCACHED direct call
+    would re-trace and re-lower the Mosaic kernels on every sweep —
+    measured ~2 min/iteration through the remote-compile tunnel at
+    ML-25M, work-independent.  The jit makes repeated direct calls —
+    bench, notebooks — steady-state, exactly like the `fit(mesh=)`
+    facades' per-fit jit wrapper; hyperparameters ride as traced scalars
+    so they never retrace)."""
+    dt = state["a_theta"].dtype
+    scal = tuple(jnp.asarray(v, dt)
+                 for v in (a, a_prime, b_prime, c, c_prime, d_prime))
+    return _hpf_blocked_jit(state, layout, scal, mesh=mesh,
+                            precision=precision, interpret=interpret)
+
+
+def _tp_sweep_poisson_blocked_impl(
     state: dict, layout: TPBlockedLayout, a0, b0, *, mesh,
     precision: str = "high", interpret: bool = False,
 ):
-    """One full plain-Poisson-MF CAVI iteration, row-sharded, blocked
-    kernel inside the ring — user block -> refresh -> item block
-    (`/root/reference/src/models/poisson_mf_cavi.py:86-219`)."""
     from pmf_tpu.models.poisson_mf import RATE_FLOOR
 
     parts = {"fast": 1, "mid": 2, "high": 3, "highest": 1}[precision]
@@ -619,7 +644,29 @@ def tp_sweep_poisson_blocked(
                   jnp.asarray(b0, dt))
 
 
-def tp_sweep_gaussian_blocked(
+@partial(jax.jit, static_argnames=("mesh", "precision", "interpret"))
+def _poisson_blocked_jit(state, layout, a0, b0, *, mesh, precision,
+                         interpret):
+    return _tp_sweep_poisson_blocked_impl(state, layout, a0, b0, mesh=mesh,
+                                          precision=precision,
+                                          interpret=interpret)
+
+
+def tp_sweep_poisson_blocked(
+    state: dict, layout: TPBlockedLayout, a0, b0, *, mesh,
+    precision: str = "high", interpret: bool = False,
+):
+    """One full plain-Poisson-MF CAVI iteration, row-sharded, blocked
+    kernel inside the ring — user block -> refresh -> item block
+    (`/root/reference/src/models/poisson_mf_cavi.py:86-219`).  Jitted
+    dispatch: see `tp_sweep_hpf_blocked`."""
+    dt = state["a_theta"].dtype
+    return _poisson_blocked_jit(state, layout, jnp.asarray(a0, dt),
+                                jnp.asarray(b0, dt), mesh=mesh,
+                                precision=precision, interpret=interpret)
+
+
+def _tp_sweep_gaussian_blocked_impl(
     state: dict, layout: TPBlockedLayout, sigma2, eta_theta2, eta_beta2,
     eta_bias2, *, use_bias: bool, covariance: str, mesh,
     precision: str = "high", interpret: bool = False,
@@ -891,7 +938,39 @@ def tp_sweep_gaussian_blocked(
                   layout.item_counts, scal)
 
 
-def tp_sweep_poisson_ext_blocked(
+@partial(jax.jit, static_argnames=("use_bias", "covariance", "mesh",
+                                   "precision", "interpret", "bias_update"))
+def _gaussian_blocked_jit(state, layout, scal, *, use_bias, covariance,
+                          mesh, precision, interpret, bias_update):
+    return _tp_sweep_gaussian_blocked_impl(
+        state, layout, *scal, use_bias=use_bias, covariance=covariance,
+        mesh=mesh, precision=precision, interpret=interpret,
+        bias_update=bias_update)
+
+
+def tp_sweep_gaussian_blocked(
+    state: dict, layout: TPBlockedLayout, sigma2, eta_theta2, eta_beta2,
+    eta_bias2, *, use_bias: bool, covariance: str, mesh,
+    precision: str = "high", interpret: bool = False,
+    bias_update: str = "exact",
+):
+    """One full Gaussian CAVI iteration, row-sharded, with the Gaussian
+    blocked kernels inside the rings — the reference's exact block order
+    theta -> beta -> b_user -> b_item
+    (`/root/reference/src/models/gaussian_mf_cavi_bias.py:125-263`);
+    `bias_update="lagged"` folds both bias blocks' statistics into the
+    factor passes' payload lanes (2 ring passes/iter).  Jitted dispatch:
+    see `tp_sweep_hpf_blocked`."""
+    dt = state["m_theta"].dtype
+    scal = tuple(jnp.asarray(v, dt) for v in
+                 (sigma2, eta_theta2, eta_beta2, eta_bias2))
+    return _gaussian_blocked_jit(state, layout, scal, use_bias=use_bias,
+                                 covariance=covariance, mesh=mesh,
+                                 precision=precision, interpret=interpret,
+                                 bias_update=bias_update)
+
+
+def _tp_sweep_poisson_ext_blocked_impl(
     state: dict, layout: TPBlockedLayout, a0, b0, *, mesh,
     precision: str = "high", interpret: bool = False,
 ):
@@ -1057,6 +1136,29 @@ def tp_sweep_poisson_ext_blocked(
                 layout.x_sum_user, layout.x_sum_item)
     return _sweep(state, bu, bi, perms, rowstats,
                   jnp.asarray(a0, dt), jnp.asarray(b0, dt))
+
+
+@partial(jax.jit, static_argnames=("mesh", "precision", "interpret"))
+def _poisson_ext_blocked_jit(state, layout, a0, b0, *, mesh, precision,
+                             interpret):
+    return _tp_sweep_poisson_ext_blocked_impl(
+        state, layout, a0, b0, mesh=mesh, precision=precision,
+        interpret=interpret)
+
+
+def tp_sweep_poisson_ext_blocked(
+    state: dict, layout: TPBlockedLayout, a0, b0, *, mesh,
+    precision: str = "high", interpret: bool = False,
+):
+    """One full EXTENDED Poisson-MF CAVI iteration, row-sharded, blocked
+    kernels inside the rings (two ring passes per side for the
+    Gauss-Seidel scalar refresh).  Jitted dispatch: see
+    `tp_sweep_hpf_blocked`."""
+    dt = state["a_theta"].dtype
+    return _poisson_ext_blocked_jit(state, layout, jnp.asarray(a0, dt),
+                                    jnp.asarray(b0, dt), mesh=mesh,
+                                    precision=precision,
+                                    interpret=interpret)
 
 
 def _dir_data(d: TPBlockedDir) -> tuple:
