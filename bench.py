@@ -244,6 +244,30 @@ def bench_hpf_map(u, i, x, n_users, n_items, nnz, rtt, K=20, epochs=3,
             out[engine] = {"failure": classify_failure(e)}
             print(f"# hpf_map {engine} failed: {str(e)[:140]}",
                   file=sys.stderr)
+    # Hardware-bound accounting (VERDICT r3 #3 done-criterion): the flat
+    # SGD step scatter-RMWs 2 param rows per edge visit (user + item rows
+    # of the fused (N, K+1) tables); measured RMW latency ~19 ns/row
+    # (docs/PERFORMANCE.md round-3 floor analysis), so the scatter floor
+    # alone bounds the epoch — shuffle (~0.88 s) and forward (~0.25 s)
+    # ride on top.  Engines report their fraction of this bound.
+    rmw_ns = 19.0
+    scatter_floor_s = 2.0 * nnz * rmw_ns * 1e-9
+    out["scatter_bound"] = {
+        "rows_scattered_per_epoch": 2 * nnz,
+        "rmw_ns_per_row_measured": rmw_ns,
+        "scatter_floor_epoch_seconds": round(scatter_floor_s, 2),
+        "bound_edge_visits_per_sec": round(nnz / scatter_floor_s, 1),
+        "model": "flat SGD floor: 2 param-row scatter-RMWs per edge visit; "
+                 "blocked engines replace the scatter with one-hot matmuls "
+                 "so they can run UNDER this floor (pct > 100); see "
+                 "docs/PERFORMANCE.md (round-3 MAP floor analysis: scatter "
+                 "+ epoch shuffle ~0.88 s + forward ~0.25 s at this nnz)",
+    }
+    for engine in ("flat", "blocked_fast", "blocked_mid", "blocked_high"):
+        v = out.get(engine)
+        if isinstance(v, dict) and "epoch_seconds" in v:
+            v["pct_of_scatter_bound"] = round(
+                100.0 * scatter_floor_s / v["epoch_seconds"], 1)
     # Back-compat headline fields = best engine.
     best = max((v for v in out.values()
                 if isinstance(v, dict) and "updates_per_sec" in v),
