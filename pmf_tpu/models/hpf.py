@@ -477,7 +477,10 @@ class HPF(FactorModel):
                 ub, ib, x, self.n_users, self.n_items, D, dtype=self._dtype,
                 dp=dp_degree(mesh), block_users=tiles["block_users"],
                 block_items=tiles["block_items"],
-                chunk_size=tiles["chunk_size"], group=tiles["group"])
+                chunk_size=tiles["chunk_size"], group=tiles["group"],
+                # Dense head inside the ring (per-(device, step) bucket
+                # corners; 2 GiB/device across both directions' stacks).
+                head="auto")
             place = place_tp_blocked
             sweep_tp = jax.jit(
                 lambda s, lo: tp_sweep_hpf_blocked(

@@ -482,7 +482,11 @@ class PoissonMF(FactorModel):
                 dtype=self._dtype, dp=dp_degree(mesh),
                 block_users=tiles["block_users"],
                 block_items=tiles["block_items"],
-                chunk_size=tiles["chunk_size"], group=tiles["group"])
+                chunk_size=tiles["chunk_size"], group=tiles["group"],
+                # Dense head inside the ring for the plain family only;
+                # the extended ring's psi/phi-weighted statistics do not
+                # consume head cells yet.
+                head=None if cfg.extended else "auto")
             place = place_tp_blocked
             if cfg.extended:
                 sweep_tp = jax.jit(

@@ -126,6 +126,53 @@ def _fused_kernel(th_ref, beta_ref, xh_ref, m_ref, *rest, floor, has_lo,
     out_ref[:] += jnp.concatenate([sa, so], axis=1)
 
 
+def fused_alloc_tier(theta_h, beta_h, x_hi, m, x_lo=None, *, r0: int,
+                     rate_floor: float, precision: str = "high",
+                     interpret: bool = False, item_side: bool = False):
+    """Raw-array form of the fused allocation kernel over one dense tier.
+
+    theta_h: (rows, K) f32 self rows, beta_h: (hip, K) f32 other rows
+    (zero-padded past the real column count), x_hi/m[/x_lo]: (rows, hip)
+    cell arrays.  Returns the (rows, 2K) [S_alloc' | S_other] accumulator
+    (item_side=True: (hip, 2K)); S_alloc' lacks the final elementwise
+    self factor.  ``rows`` must be a multiple of ``r0``.  Used by both
+    `_fused_alloc_products` (single-chip hybrid) and the TP blocked ring
+    (`pmf_tpu.parallel.tp_blocked`), where the visiting table's top rows
+    are the tier's columns."""
+    K = theta_h.shape[1]
+    hip = m.shape[1]
+    C0 = _col_tile(hip)
+    n_c = hip // C0
+    has_lo = x_lo is not None
+    prec = _prec(precision)
+    kernel = functools.partial(
+        _fused_kernel, floor=rate_floor, has_lo=has_lo, prec=prec,
+        item_side=item_side,
+    )
+    rows = x_hi.shape[0]
+    n_r = rows // r0
+    th_spec = pl.BlockSpec((r0, K), lambda a, b: ((b if item_side else a), 0))
+    beta_spec = pl.BlockSpec((C0, K), lambda a, b: ((a if item_side else b), 0))
+    cell = pl.BlockSpec((r0, C0), lambda a, b: ((b, a) if item_side else (a, b)))
+    if item_side:
+        grid = (n_c, n_r)
+        out_spec = pl.BlockSpec((C0, 2 * K), lambda a, b: (a, 0))
+        out_shape = jax.ShapeDtypeStruct((hip, 2 * K), jnp.float32)
+    else:
+        grid = (n_r, n_c)
+        out_spec = pl.BlockSpec((r0, 2 * K), lambda a, b: (a, 0))
+        out_shape = jax.ShapeDtypeStruct((rows, 2 * K), jnp.float32)
+    in_specs = [th_spec, beta_spec, cell, cell] + ([cell] if has_lo else [])
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(theta_h, beta_h, x_hi, m, *((x_lo,) if has_lo else ()))
+
+
 def _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
                           interpret, item_side, mesh=None):
     """Run the fused kernel over (row-block, col-tile) grid.  Returns the
@@ -138,47 +185,15 @@ def _fused_alloc_products(theta_h, beta_h, head, rate_floor, precision,
     runs the fused kernel on its row band; user-side outputs concatenate
     along rows, item-side partials psum over ICI.  Falls back to
     replicated compute otherwise (always correct)."""
-    K = theta_h.shape[1]
-    hip = head.m.shape[1]
     R0 = head.r0
-    C0 = _col_tile(hip)
-    n_c = hip // C0
     has_lo = head.x_lo is not None
-    prec = _prec(precision)
-    kernel = functools.partial(
-        _fused_kernel, floor=rate_floor, has_lo=has_lo, prec=prec,
-        item_side=item_side,
-    )
 
     def core(bh, th, xh, mm, *lo):
-        rows = xh.shape[0]
-        n_r = rows // R0
-        th_spec = pl.BlockSpec(
-            (R0, K), lambda a, b: ((b if item_side else a), 0)
+        return fused_alloc_tier(
+            th, bh, xh, mm, lo[0] if lo else None, r0=R0,
+            rate_floor=rate_floor, precision=precision,
+            interpret=interpret, item_side=item_side,
         )
-        beta_spec = pl.BlockSpec(
-            (C0, K), lambda a, b: ((a if item_side else b), 0)
-        )
-        cell = pl.BlockSpec(
-            (R0, C0), lambda a, b: ((b, a) if item_side else (a, b))
-        )
-        if item_side:
-            grid = (n_c, n_r)
-            out_spec = pl.BlockSpec((C0, 2 * K), lambda a, b: (a, 0))
-            out_shape = jax.ShapeDtypeStruct((hip, 2 * K), jnp.float32)
-        else:
-            grid = (n_r, n_c)
-            out_spec = pl.BlockSpec((R0, 2 * K), lambda a, b: (a, 0))
-            out_shape = jax.ShapeDtypeStruct((rows, 2 * K), jnp.float32)
-        in_specs = [th_spec, beta_spec, cell, cell] + ([cell] if has_lo else [])
-        return pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(th, bh, xh, mm, *lo)
 
     lo_ops = (head.x_lo,) if has_lo else ()
     n_dev = 1 if mesh is None else mesh.devices.size

@@ -106,11 +106,53 @@ class TPBlockedDir:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["x_hi", "x_lo", "m"],
+    meta_fields=["row_start", "hu", "hi", "hip", "r0"],
+)
+@dataclasses.dataclass(frozen=True)
+class TPHeadTier:
+    """One dense-head tier of the TP blocked layout, stacked per bucket.
+
+    The TP counterpart of `pmf_tpu.data.blocked.DenseHead`: after the
+    per-shard local popularity reordering, every (device, ring-step)
+    bucket's dense corner — the device's top ``hu`` self rows against the
+    VISITING shard's top ``hi`` rows — is stored as dense cell arrays and
+    its CAVI statistics run as dense MXU matmuls per ring step
+    (`pmf_tpu.ops.dense_head.fused_alloc_tier`); the visiting table's
+    first ``hi`` rows ARE the tier's columns, so no extra communication
+    is needed.  Cells are stored PER DIRECTION (by_user and by_item carve
+    independent heads), because each side's statistics must run after the
+    other side's refresh (the reference's theta -> beta order,
+    `/root/reference/src/models/hpf_cavi.py:126-185`) with the cells
+    resident on the consuming device.
+
+    Data arrays carry the (D_devices, [n_dp,] D_steps) prefix of
+    `TPBlockedDir`; with DP the tier's rows split contiguously over the
+    replicas (``hu_r = hu / n_dp`` rows each — dense cells make the split
+    perfectly work-balanced).  x_hi/x_lo/m are (..., hu_r, hip):
+    bf16 rating-sum (+ optional bf16 remainder when ratings are not
+    bf16-exact) and edge multiplicity (bf16 when every multiplicity is
+    <= 256, else f32), exactly as the single-chip `DenseHead`.
+    """
+
+    x_hi: jax.Array
+    x_lo: jax.Array | None
+    m: jax.Array
+    row_start: int
+    hu: int
+    hi: int
+    hip: int
+    r0: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["by_user", "by_item",
                  "u_old_of_new", "u_new_of_old",
                  "i_old_of_new", "i_new_of_old",
                  "user_counts", "item_counts",
-                 "x_sum_user", "x_sum_item"],
+                 "x_sum_user", "x_sum_item",
+                 "head_user", "head_item"],
     meta_fields=["n_users", "n_items", "n_users_pad", "n_items_pad",
                  "users_per", "items_per", "n_devices", "nnz", "n_dp"],
 )
@@ -145,6 +187,11 @@ class TPBlockedLayout:
     n_devices: int
     nnz: int
     n_dp: int = 1
+    # Dense-head tiers per direction (empty = pure edge layout).  Only
+    # the HPF / plain-Poisson sweeps consume these; the Gaussian and
+    # extended-Poisson sweeps reject layouts carrying them.
+    head_user: tuple = ()
+    head_item: tuple = ()
 
 
 def _local_perms(ids: np.ndarray, per: int, D: int):
@@ -161,12 +208,62 @@ def _local_perms(ids: np.ndarray, per: int, D: int):
     return old_of_new, new_of_old
 
 
+def _scatter_head_stack(d_of, step, r_rel, c, xv, D, dp, hu_r, hip,
+                        exact: bool):
+    """Scatter one tier's head edges into the stacked per-bucket cell
+    arrays ON DEVICE (as `pmf_tpu.data.blocked._build_head`: only the
+    head edge triples cross the host->HBM link, not gigabytes of dense
+    cells).  Returns (x_hi, x_lo|None, m) shaped (D, [dp,] D, hu_r, hip);
+    dtypes follow the single-chip DenseHead rules, decided across ALL
+    buckets so the stack is uniform."""
+    per_dev = dp * D * hu_r * hip
+    if per_dev >= 2**31:
+        raise ValueError(
+            f"TP head tier per-device stack ({dp}x{D}x{hu_r}x{hip} = "
+            f"{per_dev} cells) exceeds int32 flat-index range; shrink "
+            "head_bytes or the tier")
+    p = r_rel // hu_r
+    within = (((p * D + step) * hu_r + (r_rel - p * hu_r)) * hip + c)
+    x_his, x_los, ms = [], [], []
+    any_rem = False
+    m_exact = True
+    for dd in range(D):
+        sel = d_of == dd
+        idx = jnp.asarray(within[sel].astype(np.int32))
+        xs = jnp.asarray(xv[sel])
+        X = jnp.zeros((per_dev,), jnp.float32).at[idx].add(xs)
+        M = jnp.zeros((per_dev,), jnp.float32).at[idx].add(1.0)
+        x_hi = X.astype(jnp.bfloat16)
+        rem = X - x_hi.astype(jnp.float32)
+        if not exact:
+            any_rem = any_rem or bool(jnp.any(rem != 0))
+        m_exact = m_exact and bool(jnp.max(M, initial=0.0) <= 256)
+        x_his.append(x_hi)
+        x_los.append(rem.astype(jnp.bfloat16))
+        ms.append(M)
+
+    shape = (dp, D, hu_r, hip) if dp > 1 else (D, hu_r, hip)
+
+    def stack(parts, dt):
+        return jnp.stack([a.astype(dt).reshape(shape) for a in parts])
+
+    return (
+        stack(x_his, jnp.bfloat16),
+        stack(x_los, jnp.bfloat16) if any_rem else None,
+        stack(ms, jnp.bfloat16 if m_exact else jnp.float32),
+    )
+
+
 def _build_dir(
     s_glob, o_glob, x, s_per, o_per, D, s_new_of_old, o_new_of_old,
-    bs_self, bs_other, chunk_size, group, seg_override, dtype, dp,
+    bs_self, bs_other, chunk_size, group, seg_for, dtype, dp,
+    head_tiers=(), head_r0: int = 512,
 ):
     """Build one direction's (D, [dp,] D, n_seg, ...) stacked bucket
-    passes (host numpy)."""
+    passes (host numpy), carving ``head_tiers`` [(row_start, rows, hi)]
+    into dense `TPHeadTier` stacks first; the edge passes hold only the
+    residual tail, and segment sizing (``seg_for(s_per, resid_nnz)``)
+    sees the residual count.  Returns (TPBlockedDir, tuple[TPHeadTier])."""
     from pmf_tpu.data.blocked import _build_pass
 
     d_of = s_glob // s_per
@@ -174,7 +271,29 @@ def _build_dir(
     step = (v_of - d_of) % D
     s_loc = s_new_of_old[d_of, s_glob % s_per]
     o_loc = o_new_of_old[v_of, o_glob % o_per]
+    x = np.asarray(x)
 
+    heads = []
+    if head_tiers:
+        x32 = x.astype(np.float32)
+        exact = not bool(np.any(x32.view(np.uint32) & np.uint32(0xFFFF)))
+        tail = np.ones(len(s_glob), dtype=bool)
+        for rs, rows, hi in head_tiers:
+            hip = -(-hi // 512) * 512
+            hu_r = rows // dp
+            sel = (s_loc >= rs) & (s_loc < rs + rows) & (o_loc < hi)
+            tail &= ~sel
+            x_hi, x_lo, m = _scatter_head_stack(
+                d_of[sel], step[sel], s_loc[sel] - rs, o_loc[sel],
+                x32[sel], D, dp, hu_r, hip, exact)
+            heads.append(TPHeadTier(x_hi=x_hi, x_lo=x_lo, m=m,
+                                    row_start=int(rs), hu=int(rows),
+                                    hi=int(hi), hip=int(hip),
+                                    r0=int(head_r0)))
+        d_of, step = d_of[tail], step[tail]
+        s_loc, o_loc, x = s_loc[tail], o_loc[tail], x[tail]
+
+    seg_override = seg_for(s_per, len(s_loc))
     passes = []
     max_nseg = 1
     max_blocks = 1
@@ -239,7 +358,7 @@ def _build_dir(
         out_rows=int(max_blocks) * bs_self,
         n_self_blocks=-(-s_per // bs_self),
         n_other_blocks=-(-o_per // bs_other),
-    )
+    ), tuple(heads)
 
 
 def build_tp_blocked(
@@ -247,11 +366,24 @@ def build_tp_blocked(
     dtype=np.float32, dp: int = 1,
     block_users: int = 512, block_items: int = 512,
     chunk_size: int = 128, group: int = 16,
+    head=None, head_bytes: int = 2 << 30, head_r0: int = 512,
+    head_min_nnz: int = 4_000_000,
 ) -> TPBlockedLayout:
     """Host-side build.  Tile parameters should come from
     `pmf_tpu.data.blocked.auto_tiles` on the GLOBAL shape — each bucket's
     expected tile occupancy equals the global one (nnz/D^2 edges over
-    (n_users/D x n_items/D) rows)."""
+    (n_users/D x n_items/D) rows).
+
+    ``head``: None = pure edge layout; "auto" = size a dense staircase
+    per direction from the bucket-local edge profile
+    (`pmf_tpu.data.blocked._pick_tiers` on the shard-local shape, byte
+    budget ``head_bytes`` PER DEVICE across both directions' D resident
+    buckets); a list of (row_start, rows, hi) = explicit tiers for both
+    directions (rows/hi in shard-LOCAL coordinates; each ``rows`` must be
+    a multiple of ``head_r0 * dp``).  With a head, the dense-corner edges
+    of every (device, step) bucket are stored as `TPHeadTier` cell stacks
+    and EXCLUDED from the edge passes; only the HPF and plain-Poisson TP
+    sweeps consume heads."""
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     x = np.asarray(x, dtype=dtype)
@@ -262,12 +394,45 @@ def build_tp_blocked(
     u_o2n, u_n2o = _local_perms(u, users_per, D)
     i_o2n, i_n2o = _local_perms(i, items_per, D)
 
+    # Head tier selection per direction: the bucket-local edge profile is
+    # the pair (self local rank, other local rank); `_pick_tiers`'s
+    # coverage count over ALL edges is then exactly the sum of per-bucket
+    # coverages, so its min_cover fraction gates the same way as on a
+    # single chip.  Budget: each device holds D buckets per direction.
+    def tiers_for(s_glob, o_glob, s_per, o_per, s_n2o, o_n2o):
+        if head is None:
+            return ()
+        if isinstance(head, (list, tuple)):
+            tiers = [(int(rs), int(rows), int(hi)) for rs, rows, hi in head]
+            unit = head_r0 * max(dp, 1)
+            for rs, rows, hi in tiers:
+                if rows % unit or rs + rows > s_per or hi > o_per or hi < 1:
+                    raise ValueError(
+                        f"TP head tier ({rs}, {rows}, {hi}) invalid for "
+                        f"shard shape ({s_per} x {o_per}), unit {unit}")
+            return tuple(tiers)
+        if head != "auto":
+            raise ValueError(f"head must be None, 'auto' or a tier list, got {head!r}")
+        from pmf_tpu.data.blocked import _pick_tiers
+
+        s_loc = s_n2o[s_glob // s_per, s_glob % s_per]
+        o_loc = o_n2o[o_glob // o_per, o_glob % o_per]
+        x32 = x.astype(np.float32)
+        exact = not bool(np.any(x32.view(np.uint32) & np.uint32(0xFFFF)))
+        cell_bytes = 4 if exact else 6
+        return tuple(_pick_tiers(
+            s_loc, o_loc, s_per, o_per,
+            head_bytes // (2 * D), cell_bytes, head_r0, row_mult=dp,
+            min_nnz=head_min_nnz,
+        ))
+
     # Uniform segment length across all buckets: the single-chip formula
     # (span x average chunks-per-block) evaluated on expected bucket
-    # occupancy, rounded to the kernel group.
-    def seg_for(s_per):
+    # occupancy (RESIDUAL after head carving), rounded to the kernel
+    # group.
+    def seg_for(s_per, resid_nnz):
         blocks = -(-s_per // block_users)
-        est_chunks = max((len(u) / max(D * D * dp, 1)) / chunk_size, 1.0)
+        est_chunks = max((resid_nnz / max(D * D * dp, 1)) / chunk_size, 1.0)
         avg = max(est_chunks / blocks, 1.0)
         seg = min(4096, max(group, int(16 * avg)))
         # Segment-quantization guard: when a bucket only fills a couple
@@ -280,15 +445,19 @@ def build_tp_blocked(
         seg = min(seg, max(group, int(est_chunks / 4)))
         return max(group, (seg // group) * group)
 
-    by_user = _build_dir(
+    by_user, head_user = _build_dir(
         u, i, x, users_per, items_per, D, u_n2o, i_n2o,
-        block_users, block_items, chunk_size, group, seg_for(users_per),
+        block_users, block_items, chunk_size, group, seg_for,
         dtype, dp,
+        head_tiers=tiers_for(u, i, users_per, items_per, u_n2o, i_n2o),
+        head_r0=head_r0,
     )
-    by_item = _build_dir(
+    by_item, head_item = _build_dir(
         i, u, x, items_per, users_per, D, i_n2o, u_n2o,
-        block_items, block_users, chunk_size, group, seg_for(items_per),
+        block_items, block_users, chunk_size, group, seg_for,
         dtype, dp,
+        head_tiers=tiers_for(i, u, items_per, users_per, i_n2o, u_n2o),
+        head_r0=head_r0,
     )
 
     uc = np.zeros(users_per * D, dtype=np.float32)
@@ -310,6 +479,7 @@ def build_tp_blocked(
         n_users_pad=users_per * D, n_items_pad=items_per * D,
         users_per=users_per, items_per=items_per,
         n_devices=D, nnz=int(len(u)), n_dp=int(dp),
+        head_user=head_user, head_item=head_item,
     )
 
 
@@ -331,10 +501,23 @@ def place_tp_blocked(layout: TPBlockedLayout, state: dict, mesh):
             seg_nrows=put(d.seg_nrows, bucket),
         )
 
+    def put_head(tiers) -> tuple:
+        return tuple(
+            dataclasses.replace(
+                t,
+                x_hi=put(t.x_hi, bucket),
+                x_lo=None if t.x_lo is None else put(t.x_lo, bucket),
+                m=put(t.m, bucket),
+            )
+            for t in tiers
+        )
+
     layout = dataclasses.replace(
         layout,
         by_user=put_dir(layout.by_user),
         by_item=put_dir(layout.by_item),
+        head_user=put_head(layout.head_user),
+        head_item=put_head(layout.head_item),
         u_old_of_new=put(layout.u_old_of_new, ring),
         u_new_of_old=put(layout.u_new_of_old, ring),
         i_old_of_new=put(layout.i_old_of_new, ring),
@@ -419,12 +602,23 @@ def _make_generic_call(kernel, dirn: TPBlockedDir, *, w_out: int,
 def _blocked_ring_pass(
     dirn: TPBlockedDir, bucket_local, E_self_perm, T_own_perm,
     *, K, parts, highest, rate_floor, interpret, D, ring_ax, dp_ax,
+    head=(), precision: str = "high",
 ):
     """Run one blocked ring pass: D steps, each consuming one bucket's
     segments with the resident visiting table through the shared Pallas
     segment call.  ``E_self_perm``/``T_own_perm`` are the device's own
     tables in LOCALLY PERMUTED order (f32).  Returns (S_alloc, S_other)
-    in permuted-local row order, (s_per, K) each."""
+    in permuted-local row order, (s_per, K) each.
+
+    ``head``: this direction's `TPHeadTier` tuple with shard-local cell
+    stacks of shape (D_steps, hu_r, hip) — per ring step each tier adds
+    its dense-corner statistics via one fused MXU kernel
+    (`pmf_tpu.ops.dense_head.fused_alloc_tier`): the visiting table's
+    first ``hi`` rows are the tier's columns, the device's own rows
+    [row_start, row_start + hu) its rows (with DP, replica p owns the
+    contiguous band starting at row_start + p * hu_r; the per-pass psum
+    over the data axis combines the bands' disjoint contributions)."""
+    from pmf_tpu.ops.dense_head import fused_alloc_tier
     from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16, make_edge_stats_call
 
     sb, ob, loc, xs, row0, nrows = bucket_local
@@ -447,19 +641,41 @@ def _blocked_ring_pass(
         interpret=interpret,
     )
     acc0 = jnp.zeros((n_self_pad + out_rows, 2 * K), dt)
+    head_data = tuple((t.x_hi, t.x_lo, t.m) for t in head)
+    p_rep = (jnp.zeros((), jnp.int32) if dp_ax is None
+             else jax.lax.axis_index(dp_ax))
 
     def body(tabs, xs_s, accs):
         (T,) = tabs
+        seg_s, head_s = xs_s
         T_t = T.astype(dt) if highest else decompose_bf16(T, parts)
         T_pad = jnp.pad(T_t, ((0, n_other_pad - T_t.shape[0]), (0, 0)))
         (acc,) = accs
         acc = _segment_scan(
             lambda sb_, ob_, l_, x_: call(sb_, ob_, l_, x_, e_self_pad,
                                           *([T_pad] * G)),
-            acc, xs_s, SEG=SEG, C=C, out_rows=out_rows, w_out=2 * K)
+            acc, seg_s, SEG=SEG, C=C, out_rows=out_rows, w_out=2 * K)
+        for tier, (x_hi, x_lo, m) in zip(head, head_s):
+            hu_r = x_hi.shape[-2]
+            off = jnp.int32(tier.row_start) + p_rep * jnp.int32(hu_r)
+            theta_h = jax.lax.dynamic_slice(
+                E_self_perm, (off, jnp.int32(0)), (hu_r, K)).astype(dt)
+            beta_h = jnp.pad(T[: tier.hi].astype(dt),
+                             ((0, tier.hip - tier.hi), (0, 0)))
+            out = fused_alloc_tier(
+                theta_h, beta_h, x_hi, m, x_lo, r0=tier.r0,
+                rate_floor=rate_floor, precision=precision,
+                interpret=interpret)
+            contrib = jnp.concatenate(
+                [theta_h * out[:, :K], out[:, K:]], axis=1)
+            region = jax.lax.dynamic_slice(acc, (off, jnp.int32(0)),
+                                           (hu_r, 2 * K))
+            acc = jax.lax.dynamic_update_slice(acc, region + contrib,
+                                               (off, jnp.int32(0)))
         return (acc,)
 
-    (acc,) = _ring((T_own_perm,), (sb, ob, loc, xs, row0, nrows),
+    (acc,) = _ring((T_own_perm,),
+                   ((sb, ob, loc, xs, row0, nrows), head_data),
                    (acc0,), body, D, ring_ax, dp_ax)
     s_per = E_self_perm.shape[0]
     return acc[:s_per, :K], acc[:s_per, K:]
@@ -486,12 +702,14 @@ def _tp_sweep_hpf_blocked_impl(
         jax.shard_map,
         mesh=mesh,
         in_specs=(state_specs, dir_specs, dir_specs,
+                  info["bucket"], info["bucket"],
                   (ring,) * 4, row, row, (rep,) * 6),
         out_specs=state_specs,
         check_vma=False,
     )
-    def _sweep(st, bu, bi, perms, counts_u, counts_i, scal):
+    def _sweep(st, bu, bi, head_u, head_i, perms, counts_u, counts_i, scal):
         av, apv, bpv, cv, cpv, dpv = scal
+        head_u, head_i = _head_local(head_u), _head_local(head_i)
         u_o2n, u_n2o, i_o2n, i_n2o = (p.reshape(p.shape[-1]) for p in perms)
         K = st["a_theta"].shape[1]
         dt = st["a_theta"].dtype
@@ -503,15 +721,16 @@ def _tp_sweep_hpf_blocked_impl(
         E_xi = a_xi / st["b_xi"]
         E_eta = a_eta / st["b_eta"]
 
-        def factor_block(dirn, bucket, E_self, T_other_own, perm_self_o2n,
-                         perm_self_n2o, perm_other_o2n, E_rate_prior,
-                         counts, shape0):
+        def factor_block(dirn, bucket, head_t, E_self, T_other_own,
+                         perm_self_o2n, perm_self_n2o, perm_other_o2n,
+                         E_rate_prior, counts, shape0):
             s_alloc_p, s_other_p = _blocked_ring_pass(
                 dirn, bucket,
                 E_self[perm_self_o2n].astype(jnp.float32),
                 T_other_own[perm_other_o2n].astype(jnp.float32),
                 K=K, parts=parts, highest=highest, rate_floor=RATE_FLOOR,
                 interpret=interpret, D=D, ring_ax=ring_ax, dp_ax=dp_ax,
+                head=head_t, precision=precision,
             )
             s_alloc = s_alloc_p[perm_self_n2o].astype(dt)
             s_other = s_other_p[perm_self_n2o].astype(dt)
@@ -521,12 +740,12 @@ def _tp_sweep_hpf_blocked_impl(
                               E_rate_prior[:, None])
             return a_out, b_out
 
-        a_t, b_t = factor_block(layout.by_user, _dir_local_t(bu),
+        a_t, b_t = factor_block(layout.by_user, _dir_local_t(bu), head_u,
                                 E_theta, E_beta, u_o2n, u_n2o, i_o2n,
                                 E_xi, counts_u, av)
         E_theta = a_t / b_t
         b_xi = bpv + jnp.sum(E_theta, axis=1)
-        a_b, b_b = factor_block(layout.by_item, _dir_local_t(bi),
+        a_b, b_b = factor_block(layout.by_item, _dir_local_t(bi), head_i,
                                 E_beta, E_theta, i_o2n, i_n2o, u_o2n,
                                 E_eta, counts_i, cv)
         E_beta = a_b / b_b
@@ -541,8 +760,8 @@ def _tp_sweep_hpf_blocked_impl(
              layout.i_old_of_new, layout.i_new_of_old)
     scal = tuple(jnp.asarray(v, dt) for v in
                  (a, a_prime, b_prime, c, c_prime, d_prime))
-    return _sweep(state, bu, bi, perms, layout.user_counts,
-                  layout.item_counts, scal)
+    return _sweep(state, bu, bi, layout.head_user, layout.head_item,
+                  perms, layout.user_counts, layout.item_counts, scal)
 
 
 @partial(jax.jit, static_argnames=("mesh", "precision", "interpret"))
@@ -597,25 +816,30 @@ def _tp_sweep_poisson_blocked_impl(
         jax.shard_map,
         mesh=mesh,
         in_specs=(state_specs, dir_specs, dir_specs,
+                  info["bucket"], info["bucket"],
                   (ring,) * 4, row, row, rep, rep),
         out_specs=state_specs,
         check_vma=False,
     )
-    def _sweep(st, bu, bi, perms, counts_u, counts_i, a0v, b0v):
+    def _sweep(st, bu, bi, head_u, head_i, perms, counts_u, counts_i,
+               a0v, b0v):
         u_o2n, u_n2o, i_o2n, i_n2o = (p.reshape(p.shape[-1]) for p in perms)
+        head_u, head_i = _head_local(head_u), _head_local(head_i)
         K = st["a_theta"].shape[1]
         dt = st["a_theta"].dtype
         E_theta = st["a_theta"] / st["b_theta"]
         E_beta = st["a_beta"] / st["b_beta"]
 
-        def plain_block(dirn, bucket, E_self, T_other_own, perm_self_o2n,
-                        perm_self_n2o, perm_other_o2n, counts):
+        def plain_block(dirn, bucket, head_t, E_self, T_other_own,
+                        perm_self_o2n, perm_self_n2o, perm_other_o2n,
+                        counts):
             s_alloc_p, s_other_p = _blocked_ring_pass(
                 dirn, bucket,
                 E_self[perm_self_o2n].astype(jnp.float32),
                 T_other_own[perm_other_o2n].astype(jnp.float32),
                 K=K, parts=parts, highest=highest, rate_floor=RATE_FLOOR,
                 interpret=interpret, D=D, ring_ax=ring_ax, dp_ax=dp_ax,
+                head=head_t, precision=precision,
             )
             s_alloc = s_alloc_p[perm_self_n2o].astype(dt)
             s_other = s_other_p[perm_self_n2o].astype(dt)
@@ -624,11 +848,11 @@ def _tp_sweep_poisson_blocked_impl(
             b_out = jnp.where(has, b0v + s_other, jnp.asarray(b0v, dt))
             return a_out, b_out
 
-        a_t, b_t = plain_block(layout.by_user, _dir_local_t(bu),
+        a_t, b_t = plain_block(layout.by_user, _dir_local_t(bu), head_u,
                                E_theta, E_beta, u_o2n, u_n2o, i_o2n,
                                counts_u)
         E_theta = a_t / b_t
-        a_b, b_b = plain_block(layout.by_item, _dir_local_t(bi),
+        a_b, b_b = plain_block(layout.by_item, _dir_local_t(bi), head_i,
                                E_beta, E_theta, i_o2n, i_n2o, u_o2n,
                                counts_i)
         return {"a_theta": a_t, "b_theta": b_t,
@@ -639,7 +863,8 @@ def _tp_sweep_poisson_blocked_impl(
     bi = _dir_data(layout.by_item)
     perms = (layout.u_old_of_new, layout.u_new_of_old,
              layout.i_old_of_new, layout.i_new_of_old)
-    return _sweep(state, bu, bi, perms, layout.user_counts,
+    return _sweep(state, bu, bi, layout.head_user, layout.head_item,
+                  perms, layout.user_counts,
                   layout.item_counts, jnp.asarray(a0, dt),
                   jnp.asarray(b0, dt))
 
@@ -693,6 +918,10 @@ def _tp_sweep_gaussian_blocked_impl(
     ring, in the single-chip lagged order theta -> b_user -> beta ->
     b_item (same fixed point: `models/gaussian_mf.sweep`,
     tests/test_gaussian_lagged.py)."""
+    if layout.head_user or layout.head_item:
+        raise ValueError(
+            "the Gaussian TP blocked ring does not consume a dense head; "
+            "build the TP layout with head=None for this family")
     from pmf_tpu.ops.pallas.gaussian_edge import (
         _FACTOR_PARTS,
         _PARTS,
@@ -986,6 +1215,11 @@ def _tp_sweep_poisson_ext_blocked_impl(
     pre-scaled table (its ``S_other`` output) and a ``mode="raw"``
     invocation (its row-summed ``S_alloc``).  The scalar SHAPE uses the
     precomputed per-row rating sums (`TPBlockedLayout.x_sum_*`)."""
+    if layout.head_user or layout.head_item:
+        raise ValueError(
+            "the extended-Poisson TP blocked ring does not consume a "
+            "dense head; build the TP layout with head=None for this "
+            "family")
     from pmf_tpu.models.poisson_mf import RATE_FLOOR
     from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16, make_edge_stats_call
 
@@ -1178,3 +1412,18 @@ def _dir_local_t(bucket_tuple) -> tuple:
         return a.reshape(a.shape[-2], a.shape[-1])
 
     return fix3(sb), fix3(ob), fix3(loc), fix3(xs), fix2(row0), fix2(nrows)
+
+
+def _head_local(tiers) -> tuple:
+    """Strip sliced leading axes from the shard_map-local head stacks:
+    each cell array becomes (D_steps, hu_r, hip)."""
+
+    def fix(a):
+        return (None if a is None
+                else a.reshape(a.shape[-3], a.shape[-2], a.shape[-1]))
+
+    return tuple(
+        dataclasses.replace(t, x_hi=fix(t.x_hi), x_lo=fix(t.x_lo),
+                            m=fix(t.m))
+        for t in tiers
+    )

@@ -347,3 +347,183 @@ def test_segment_quantization_guard_geometry():
     for dirn in (lay.by_user, lay.by_item):
         slots = dirn.sb.size * dirn.chunk_size  # D*D*n_seg*SEG*C
         assert nnz / slots > 0.25, (nnz, slots)
+
+
+# ---------------------------------------------------------------------------
+# Dense head inside the ring (TPHeadTier)
+# ---------------------------------------------------------------------------
+
+
+def _hpf_blocked_state(mesh, layout_kwargs, dp=1, seed=3, iters=3):
+    """Run 3 blocked-ring HPF iterations with the given layout kwargs."""
+    import jax
+
+    from pmf_tpu.models.hpf import HPFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        HPF_AXIS_OF, HPF_PAD_ONES, pad_state_rows,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_hpf_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=seed)
+    D = 8 // dp
+    cfg = HPFConfig(n_factors=5, random_state=0, dtype="float32")
+    hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime,
+             cfg.d_prime)
+    layout = build_tp_blocked(u, i, x, n_users, n_items, D,
+                              dtype=np.float32, dp=dp, **_tile_kwargs(),
+                              **layout_kwargs)
+    state0 = pad_state_rows(
+        init_state(n_users, n_items, cfg), HPF_AXIS_OF,
+        layout.n_users_pad, layout.n_items_pad, ones_keys=HPF_PAD_ONES)
+    layout, st = place_tp_blocked(layout, dict(state0), mesh)
+    for _ in range(iters):
+        st = tp_sweep_hpf_blocked(st, layout, *hyper, mesh=mesh,
+                                  interpret=True)
+    return layout, jax.device_get(st)
+
+
+def test_hpf_tp_head_matches_headless(mesh8):
+    """Explicit per-bucket head tiers: the dense-corner statistics from
+    the fused MXU kernel land within kernel rounding of the pure edge
+    layout (which processes the same edges through the segment scan)."""
+    lay_head, s_head = _hpf_blocked_state(
+        mesh8, dict(head=[(0, 8, 8)], head_r0=4))
+    assert lay_head.head_user and lay_head.head_item
+    # The carve actually moved edges out of the tail.
+    lay_plain, s_plain = _hpf_blocked_state(mesh8, {})
+    assert (np.asarray(lay_head.by_user.seg_nrows).sum()
+            <= np.asarray(lay_plain.by_user.seg_nrows).sum())
+    _assert_close(s_plain, s_head, rtol=3e-4, atol=3e-5)
+
+
+def test_hpf_tp_head_hybrid(mesh2x4):
+    """Hybrid DP x TP: tier rows split contiguously over the data axis
+    (replica bands), combined by the per-pass psum."""
+    lay_head, s_head = _hpf_blocked_state(
+        mesh2x4, dict(head=[(0, 8, 8)], head_r0=4), dp=2)
+    assert lay_head.head_user[0].x_hi.shape[-2] == 4  # hu_r = 8 / dp
+    _, s_plain = _hpf_blocked_state(mesh2x4, {}, dp=2)
+    _assert_close(s_plain, s_head, rtol=3e-4, atol=3e-5)
+
+
+def test_hpf_tp_head_auto(mesh8):
+    """head='auto' with the small-data gates lifted picks tiers and
+    still matches the headless ring.  Needs shards at least 128 items
+    wide (`_pick_tiers`' minimum tier width), hence the bigger shape."""
+    import jax
+
+    from pmf_tpu.models.hpf import HPFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        HPF_AXIS_OF, HPF_PAD_ONES, pad_state_rows,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_hpf_blocked,
+    )
+
+    rng = np.random.default_rng(7)
+    n_users = n_items = 1200
+    u = rng.integers(0, n_users, 20000)
+    i = rng.integers(0, n_items, 20000)
+    key = u * n_items + i
+    _, first = np.unique(key, return_index=True)
+    u, i = u[first], i[first]
+    x = rng.integers(1, 6, len(u)).astype(np.float64)
+    cfg = HPFConfig(n_factors=4, random_state=0, dtype="float32")
+    hyper = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime,
+             cfg.d_prime)
+
+    def run(head_kwargs):
+        layout = build_tp_blocked(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32, **_tile_kwargs(),
+                                  **head_kwargs)
+        state0 = pad_state_rows(
+            init_state(n_users, n_items, cfg), HPF_AXIS_OF,
+            layout.n_users_pad, layout.n_items_pad,
+            ones_keys=HPF_PAD_ONES)
+        layout, st = place_tp_blocked(layout, dict(state0), mesh8)
+        st = tp_sweep_hpf_blocked(st, layout, *hyper, mesh=mesh8,
+                                  interpret=True)
+        return layout, jax.device_get(st)
+
+    lay_head, s_head = run(dict(head="auto", head_r0=4, head_min_nnz=0,
+                                head_bytes=1 << 20))
+    assert lay_head.head_user, "auto sizing picked no tiers"
+    _, s_plain = run({})
+    _assert_close(s_plain, s_head, rtol=3e-4, atol=3e-5)
+
+
+def test_poisson_tp_head_matches_headless(mesh8):
+    import jax
+
+    from pmf_tpu.models.poisson_mf import PoissonMFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        POISSON_AXIS_OF, POISSON_PAD_ONES, pad_state_rows,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_poisson_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=5)
+    cfg = PoissonMFConfig(n_factors=4, random_state=1, dtype="float32")
+
+    def run(head_kwargs):
+        layout = build_tp_blocked(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32, **_tile_kwargs(),
+                                  **head_kwargs)
+        state0 = pad_state_rows(
+            init_state(n_users, n_items, cfg), POISSON_AXIS_OF,
+            layout.n_users_pad, layout.n_items_pad,
+            ones_keys=POISSON_PAD_ONES)
+        layout, st = place_tp_blocked(layout, dict(state0), mesh8)
+        for _ in range(3):
+            st = tp_sweep_poisson_blocked(st, layout, cfg.a0, cfg.b0,
+                                          mesh=mesh8, interpret=True)
+        return jax.device_get(st)
+
+    _assert_close(run({}), run(dict(head=[(0, 8, 8)], head_r0=4)),
+                  rtol=3e-4, atol=3e-5)
+
+
+def test_gaussian_ext_reject_head(mesh8):
+    """The Gaussian and extended-Poisson rings reject head layouts with a
+    descriptive error instead of silently dropping the carved edges."""
+    import jax.numpy as jnp
+
+    from pmf_tpu.models.gaussian_mf import GaussianMFConfig
+    from pmf_tpu.models.gaussian_mf import init_state as g_init
+    from pmf_tpu.parallel.tp import GAUSSIAN_AXIS_OF, pad_state_rows
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_gaussian_blocked,
+        tp_sweep_poisson_ext_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=11)
+    layout = build_tp_blocked(u, i, x - x.mean(), n_users, n_items, 8,
+                              dtype=np.float32, **_tile_kwargs(),
+                              head=[(0, 8, 8)], head_r0=4)
+    from pmf_tpu.models.poisson_mf import PoissonMFConfig
+    from pmf_tpu.models.poisson_mf import init_state as p_init
+    from pmf_tpu.parallel.tp import POISSON_EXT_AXIS_OF, POISSON_PAD_ONES
+
+    cfg = GaussianMFConfig(n_factors=4, random_state=0, dtype="float32")
+    state0 = pad_state_rows(g_init(n_users, n_items, cfg),
+                            GAUSSIAN_AXIS_OF, layout.n_users_pad,
+                            layout.n_items_pad)
+    layout_g, st = place_tp_blocked(layout, dict(state0), mesh8)
+    with pytest.raises(ValueError, match="dense head"):
+        tp_sweep_gaussian_blocked(st, layout_g, cfg.sigma2, cfg.eta_theta2,
+                                  cfg.eta_beta2, cfg.eta_bias2,
+                                  use_bias=True, covariance="full",
+                                  mesh=mesh8, interpret=True)
+
+    pcfg = PoissonMFConfig(n_factors=4, random_state=0, dtype="float32",
+                           extended=True)
+    pstate0 = pad_state_rows(p_init(n_users, n_items, pcfg),
+                             POISSON_EXT_AXIS_OF, layout.n_users_pad,
+                             layout.n_items_pad, ones_keys=POISSON_PAD_ONES)
+    layout_p, stp = place_tp_blocked(layout, dict(pstate0), mesh8)
+    with pytest.raises(ValueError, match="dense head"):
+        tp_sweep_poisson_ext_blocked(stp, layout_p, 0.3, 0.3, mesh=mesh8,
+                                     interpret=True)
