@@ -320,8 +320,13 @@ def bench_tp(u, i, x, n_users, n_items, nnz, K, iters, rtt):
                            block_users=tiles["block_users"],
                            block_items=tiles["block_items"],
                            chunk_size=tiles["chunk_size"],
-                           group=tiles["group"])
+                           group=tiles["group"],
+                           head="auto")  # production facade config
     out["blocked_layout_build_seconds"] = round(time.perf_counter() - t0, 1)
+    out["blocked_head_tiers"] = {
+        "by_user": [(t.row_start, t.hu, t.hi) for t in blk.head_user],
+        "by_item": [(t.row_start, t.hu, t.hi) for t in blk.head_item],
+    }
     state0 = pad_state_rows(hpf.init_state(n_users, n_items, cfg),
                             HPF_AXIS_OF, blk.n_users_pad, blk.n_items_pad,
                             ones_keys=HPF_PAD_ONES)

@@ -62,13 +62,16 @@ V5E_ICI_BPS = 186e9
 
 def dir_stats(d, nnz_total: int, D: int, K: int, table_width: int):
     """Geometry of one TPBlockedDir: slots, dummies, per-chip work."""
-    sb = np.asarray(d.sb)  # (D, steps, n_seg, seg_chunks)
     seg_nrows = np.asarray(d.seg_nrows)  # (D, steps, n_seg)
     n_seg_total = int(seg_nrows.size)
     n_dummy = int((seg_nrows == 0).sum())
     slot_chunks = n_seg_total * d.seg_chunks
     slot_edges = slot_chunks * d.chunk_size
     per_chip_slot_edges = slot_edges // D
+    # Real (non-padding) edges held by this direction's tail: padding
+    # slots carry the (bs_self << 16 | bs_other) sentinel.
+    pad_packed = np.int32((d.bs_self << 16) | d.bs_other)
+    tail_edges = int((np.asarray(d.loc) != pad_packed).sum())
     # One-hot kernel MACs per chip per pass: every chunk slot costs
     # chunk_size x C MACs for the one-hot build plus chunk_size x K for
     # the table product per payload lane; the slot count is the scaling
@@ -87,7 +90,8 @@ def dir_stats(d, nnz_total: int, D: int, K: int, table_width: int):
         "dummy_segments": n_dummy,
         "dummy_fraction": round(n_dummy / max(n_seg_total, 1), 4),
         "slot_edges_per_chip": per_chip_slot_edges,
-        "occupancy": round(nnz_total / max(slot_edges, 1), 4),
+        "tail_edges": tail_edges,
+        "occupancy": round(tail_edges / max(slot_edges, 1), 4),
         "ici_bytes_per_pass_per_chip": ici_bytes,
         "macs_per_chip_per_pass": macs_per_chip,
         "ici_seconds": ici_bytes / V5E_ICI_BPS,
@@ -111,6 +115,10 @@ def main(argv=None):
                          "production TP facades apply (naive contiguous "
                          "ownership — pathological on popularity-sorted "
                          "ids; kept for the before/after account)")
+    ap.add_argument("--no_head", action="store_true",
+                    help="build without the dense head (the pre-head "
+                         "r04 geometry; production facades pass "
+                         "head='auto' for HPF/plain Poisson)")
     args = ap.parse_args(argv)
 
     if args.data_cache and os.path.exists(args.data_cache):
@@ -156,11 +164,24 @@ def main(argv=None):
                                block_users=tiles["block_users"],
                                block_items=tiles["block_items"],
                                chunk_size=tiles["chunk_size"],
-                               group=tiles["group"])
+                               group=tiles["group"],
+                               head=None if args.no_head else "auto")
         build_s = time.perf_counter() - t0
         entry = {"D": D, "build_seconds": round(build_s, 1)}
-        for name, dirn in (("by_user", lay.by_user), ("by_item", lay.by_item)):
+        for name, dirn, tiers in (("by_user", lay.by_user, lay.head_user),
+                                  ("by_item", lay.by_item, lay.head_item)):
             st = dir_stats(dirn, len(u), D, K, widths["hpf"])
+            # Dense head: per chip per pass, each of the D ring steps
+            # runs the fused kernel over its bucket's tiers — 3 dense
+            # (rows x hip x K) contractions (R, W@beta, M@beta).
+            head_cells = sum(t.hu * t.hip for t in tiers)
+            st["head_tiers"] = [(t.row_start, t.hu, t.hi) for t in tiers]
+            st["head_macs_per_chip_per_pass"] = 3 * D * head_cells * K
+            st["head_edge_fraction"] = round(
+                1.0 - st["tail_edges"] / max(len(u), 1), 4)
+            st["mxu_seconds"] = (
+                st["macs_per_chip_per_pass"]
+                + st["head_macs_per_chip_per_pass"]) / V5E_MXU_MACS
             if D == 1:
                 base_slots[name] = st["slot_edges_per_chip"]
             st["slot_scaling_efficiency"] = round(
@@ -171,13 +192,20 @@ def main(argv=None):
                 st["ici_seconds"] / max(st["mxu_seconds"], 1e-12), 3)
             entry[name] = st
         # Gaussian table is much wider; scale the by_user ICI bytes.
+        # The Gaussian family builds HEADLESS layouts (its ring rejects
+        # a head), so its MXU time is the tail-only slot cost; in a head
+        # run this understates Gaussian tail work (the true Gaussian
+        # geometry is the --no_head artifact) — flagged in the report.
         gu = entry["by_user"]
         entry["gaussian_ici_bytes_per_pass_per_chip"] = int(
             gu["ici_bytes_per_pass_per_chip"] / max(widths["hpf"], 1)
             * widths["gaussian_bias"])
         entry["gaussian_ici_to_mxu_ratio"] = round(
             entry["gaussian_ici_bytes_per_pass_per_chip"] / V5E_ICI_BPS
-            / max(gu["mxu_seconds"], 1e-12), 3)
+            / (gu["macs_per_chip_per_pass"] / V5E_MXU_MACS), 3)
+        entry["gaussian_note"] = ("headless layout geometry applies "
+                                  "(see the no-head artifact)"
+                                  if not args.no_head else "")
         report["degrees"].append(entry)
         print(f"# D={D}: built in {build_s:.0f}s; by_user occupancy "
               f"{gu['occupancy']:.3f}, dummy {gu['dummy_fraction']:.3f}, "
@@ -207,14 +235,16 @@ def write_md(report, path):
         "ICI/MXU <= 1 means the ring stays compute-bound (table hops "
         "hide under kernel work).",
         "",
-        "| D | occupancy u/i | dummy seg frac u/i | eff(D) u/i | "
-        "HPF ICI/MXU | Gaussian ICI/MXU | build s |",
-        "|---|---|---|---|---|---|---|",
+        "| D | head edge frac u/i | occupancy u/i | dummy seg frac u/i | "
+        "eff(D) u/i | HPF ICI/MXU | Gaussian ICI/MXU | build s |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for e in report["degrees"]:
         bu, bi = e["by_user"], e["by_item"]
         lines.append(
-            f"| {e['D']} | {bu['occupancy']:.3f} / {bi['occupancy']:.3f} | "
+            f"| {e['D']} | {bu.get('head_edge_fraction', 0):.3f} / "
+            f"{bi.get('head_edge_fraction', 0):.3f} | "
+            f"{bu['occupancy']:.3f} / {bi['occupancy']:.3f} | "
             f"{bu['dummy_fraction']:.3f} / {bi['dummy_fraction']:.3f} | "
             f"{bu['slot_scaling_efficiency']:.3f} / "
             f"{bi['slot_scaling_efficiency']:.3f} | "
