@@ -483,10 +483,10 @@ class PoissonMF(FactorModel):
                 block_users=tiles["block_users"],
                 block_items=tiles["block_items"],
                 chunk_size=tiles["chunk_size"], group=tiles["group"],
-                # Dense head inside the ring for the plain family only;
-                # the extended ring's psi/phi-weighted statistics do not
-                # consume head cells yet.
-                head=None if cfg.extended else "auto")
+                # Dense head inside the ring (per-(device, step) bucket
+                # corners); the extended ring consumes it too (psi-scaled
+                # M products + the theta.(M@sb) scalar-rate identity).
+                head="auto")
             place = place_tp_blocked
             if cfg.extended:
                 sweep_tp = jax.jit(

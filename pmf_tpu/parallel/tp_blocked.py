@@ -38,6 +38,14 @@ cavi_edge`) INSIDE the ring:
   mesh each bucket's SEGMENTS round-robin over the data axis with one
   psum per pass.
 
+A DENSE HEAD rides the ring for the Poisson families (`TPHeadTier`,
+`build_tp_blocked(head="auto")`): each bucket's dense corner — the
+device's top local rows x the VISITING shard's top rows, Zipf-dense
+again after the count-balanced deal + local popularity sort — is stored
+as per-direction cell stacks and its statistics run as fused MXU
+matmuls per ring step against the resident visiting table (zero extra
+ICI; the single-chip hybrid's fast path, `pmf_tpu.ops.dense_head`).
+
 Families: ALL FOUR — HPF, plain Poisson, extended Poisson (the extended
 scalar refresh runs as a second ring pass with a pre-scaled table + the
 kernel's "raw" product mode), and Gaussian full/diag with biases (the
@@ -1214,13 +1222,18 @@ def _tp_sweep_poisson_ext_blocked_impl(
     scalar statistics come from a second kernel invocation on the
     pre-scaled table (its ``S_other`` output) and a ``mode="raw"``
     invocation (its row-summed ``S_alloc``).  The scalar SHAPE uses the
-    precomputed per-row rating sums (`TPBlockedLayout.x_sum_*`)."""
-    if layout.head_user or layout.head_item:
-        raise ValueError(
-            "the extended-Poisson TP blocked ring does not consume a "
-            "dense head; build the TP layout with head=None for this "
-            "family")
+    precomputed per-row rating sums (`TPBlockedLayout.x_sum_*`).
+
+    Dense head: per tier and ring step, pass 1 adds the allocation via
+    the fused tier kernel (unscaled visiting factors — the scalars
+    cancel in the allocation, docs/MODELS.md §4) and the psi-weighted
+    rate sum as one dense ``M @ (s ∘ E_vis)`` matmul (the single-chip
+    `ext_head_stats` form); pass 2 adds ``theta_new ∘ (M @ (s ∘
+    E_vis))``, whose row-sum is exactly the head edges' scalar rate
+    ``sum_e s_e <theta_new, E_vis>`` (the `ext_scalar_stats` identity:
+    sum_i M_ui s_i <t_u, b_i> = <t_u, (M @ sb)_u>)."""
     from pmf_tpu.models.poisson_mf import RATE_FLOOR
+    from pmf_tpu.ops.dense_head import _prec, fused_alloc_tier
     from pmf_tpu.ops.pallas.cavi_edge import decompose_bf16, make_edge_stats_call
 
     parts = {"fast": 1, "mid": 2, "high": 3, "highest": 1}[precision]
@@ -1237,23 +1250,28 @@ def _tp_sweep_poisson_ext_blocked_impl(
         jax.shard_map,
         mesh=mesh,
         in_specs=(state_specs, dir_specs, dir_specs,
+                  info["bucket"], info["bucket"],
                   (ring,) * 4, (row,) * 4, rep, rep),
         out_specs=state_specs,
         check_vma=False,
     )
-    def _sweep(st, bu, bi, perms, rowstats, a0v, b0v):
+    def _sweep(st, bu, bi, head_u, head_i, perms, rowstats, a0v, b0v):
         u_o2n, u_n2o, i_o2n, i_n2o = (p.reshape(p.shape[-1]) for p in perms)
+        head_u, head_i = _head_local(head_u), _head_local(head_i)
         counts_u, counts_i, sx_u, sx_i = rowstats
         K = st["a_theta"].shape[1]
         dt = st["a_theta"].dtype
         f32 = jnp.float32
+        p_rep = (jnp.zeros((), jnp.int32) if dp_ax is None
+                 else jax.lax.axis_index(dp_ax))
+        mprec = _prec(precision)
 
         E_theta = st["a_theta"] / st["b_theta"]
         E_beta = st["a_beta"] / st["b_beta"]
         E_phi = st["a_phi"] / st["b_phi"]
         E_psi = st["a_psi"] / st["b_psi"]
 
-        def ext_block(dirn, bucket, E_self, E_other_own, s_other_own,
+        def ext_block(dirn, bucket, head_t, E_self, E_other_own, s_other_own,
                       perm_self_o2n, perm_self_n2o, perm_other_o2n,
                       counts, sx):
             SEG, C, G = dirn.seg_chunks, dirn.chunk_size, dirn.group
@@ -1299,25 +1317,66 @@ def _tp_sweep_poisson_ext_blocked_impl(
 
                 return prep(E_vis), prep(scaled)
 
+            head_data = tuple((t.x_hi, t.x_lo, t.m) for t in head_t)
+
+            def tier_tables(tier, T):
+                """One tier's f32 head tables from the resident visiting
+                [E | s] table: (E_vis[:hi] padded to hip, (s ∘ E_vis)[:hi]
+                padded to hip)."""
+                E_vis = T[: tier.hi, :K].astype(f32)
+                s_vis = T[: tier.hi, K].astype(f32)
+                pad = ((0, tier.hip - tier.hi), (0, 0))
+                return jnp.pad(E_vis, pad), jnp.pad(s_vis[:, None] * E_vis,
+                                                    pad)
+
+            def add_rows(acc, contrib, off):
+                region = jax.lax.dynamic_slice(
+                    acc, (off, jnp.int32(0)), contrib.shape)
+                return jax.lax.dynamic_update_slice(
+                    acc, region + contrib, (off, jnp.int32(0)))
+
             acc0 = jnp.zeros((n_self_pad + out_rows, 2 * K), f32)
 
             def body1(tabs, xs_s, accs):
                 (T,) = tabs
+                seg_s, head_s = xs_s
                 E_pad, scaled_pad = split_tables(T)
                 acc_a, acc_w = accs
                 acc_a = _segment_scan(
                     lambda sb_, ob_, l_, x_: call(
                         sb_, ob_, l_, x_, e_self_pad, *([E_pad] * G)),
-                    acc_a, xs_s, SEG=SEG, C=C, out_rows=out_rows,
+                    acc_a, seg_s, SEG=SEG, C=C, out_rows=out_rows,
                     w_out=2 * K)
                 acc_w = _segment_scan(
                     lambda sb_, ob_, l_, x_: call(
                         sb_, ob_, l_, x_, e_self_pad, *([scaled_pad] * G)),
-                    acc_w, xs_s, SEG=SEG, C=C, out_rows=out_rows,
+                    acc_w, seg_s, SEG=SEG, C=C, out_rows=out_rows,
                     w_out=2 * K)
+                for tier, (x_hi, x_lo, m) in zip(head_t, head_s):
+                    hu_r = x_hi.shape[-2]
+                    off = (jnp.int32(tier.row_start)
+                           + p_rep * jnp.int32(hu_r))
+                    th = jax.lax.dynamic_slice(
+                        E_self_p, (off, jnp.int32(0)), (hu_r, K))
+                    bh, sbh = tier_tables(tier, T)
+                    out = fused_alloc_tier(
+                        th, bh, x_hi, m, x_lo, r0=tier.r0,
+                        rate_floor=RATE_FLOOR, precision=precision,
+                        interpret=interpret)
+                    sa = th * out[:, :K]
+                    sw = jax.lax.dot(m.astype(f32), sbh,
+                                     preferred_element_type=f32,
+                                     precision=mprec)
+                    acc_a = add_rows(
+                        acc_a, jnp.concatenate([sa, jnp.zeros_like(sa)], 1),
+                        off)
+                    acc_w = add_rows(
+                        acc_w, jnp.concatenate([jnp.zeros_like(sw), sw], 1),
+                        off)
                 return acc_a, acc_w
 
-            acc_a, acc_w = _ring((T_own,), (sb, ob, loc, xs, row0, nrows),
+            acc_a, acc_w = _ring((T_own,),
+                                 ((sb, ob, loc, xs, row0, nrows), head_data),
                                  (acc0, acc0), body1, D, ring_ax, dp_ax)
             s_alloc = acc_a[:s_per, :K][perm_self_n2o].astype(dt)
             s_wother = acc_w[:s_per, K:][perm_self_n2o].astype(dt)
@@ -1332,16 +1391,34 @@ def _tp_sweep_poisson_ext_blocked_impl(
 
             def body2(tabs, xs_s, accs):
                 (T,) = tabs
+                seg_s, head_s = xs_s
                 _, scaled_pad = split_tables(T)
                 (acc,) = accs
                 acc = _segment_scan(
                     lambda sb_, ob_, l_, x_: call_raw(
                         sb_, ob_, l_, x_, e_new_pad, *([scaled_pad] * G)),
-                    acc, xs_s, SEG=SEG, C=C, out_rows=out_rows,
+                    acc, seg_s, SEG=SEG, C=C, out_rows=out_rows,
                     w_out=2 * K)
+                for tier, (x_hi, x_lo, m) in zip(head_t, head_s):
+                    hu_r = x_hi.shape[-2]
+                    off = (jnp.int32(tier.row_start)
+                           + p_rep * jnp.int32(hu_r))
+                    th_new = jax.lax.dynamic_slice(
+                        E_new_p, (off, jnp.int32(0)), (hu_r, K))
+                    _, sbh = tier_tables(tier, T)
+                    sw = jax.lax.dot(m.astype(f32), sbh,
+                                     preferred_element_type=f32,
+                                     precision=mprec)
+                    contrib = th_new * sw  # row-sum = sum_e s_e <t, b>
+                    acc = add_rows(
+                        acc,
+                        jnp.concatenate([contrib, jnp.zeros_like(contrib)],
+                                        1),
+                        off)
                 return (acc,)
 
-            (acc2,) = _ring((T_own,), (sb, ob, loc, xs, row0, nrows),
+            (acc2,) = _ring((T_own,),
+                            ((sb, ob, loc, xs, row0, nrows), head_data),
                             (acc0,), body2, D, ring_ax, dp_ax)
             s_sdot = jnp.sum(acc2[:s_per, :K], axis=1)[perm_self_n2o].astype(dt)
             has1 = counts > 0
@@ -1350,13 +1427,13 @@ def _tp_sweep_poisson_ext_blocked_impl(
             return a_fac, b_fac, a_s, b_s
 
         a_t, b_t, a_phi, b_phi = ext_block(
-            layout.by_user, _dir_local_t(bu), E_theta, E_beta, E_psi,
+            layout.by_user, _dir_local_t(bu), head_u, E_theta, E_beta, E_psi,
             u_o2n, u_n2o, i_o2n, counts_u, sx_u)
         E_theta_new = a_t / b_t
         E_phi_new = a_phi / b_phi
         a_b, b_b, a_psi, b_psi = ext_block(
-            layout.by_item, _dir_local_t(bi), E_beta, E_theta_new, E_phi_new,
-            i_o2n, i_n2o, u_o2n, counts_i, sx_i)
+            layout.by_item, _dir_local_t(bi), head_i, E_beta, E_theta_new,
+            E_phi_new, i_o2n, i_n2o, u_o2n, counts_i, sx_i)
         return {"a_theta": a_t, "b_theta": b_t, "a_beta": a_b, "b_beta": b_b,
                 "a_phi": a_phi, "b_phi": b_phi, "a_psi": a_psi,
                 "b_psi": b_psi}
@@ -1368,8 +1445,8 @@ def _tp_sweep_poisson_ext_blocked_impl(
              layout.i_old_of_new, layout.i_new_of_old)
     rowstats = (layout.user_counts, layout.item_counts,
                 layout.x_sum_user, layout.x_sum_item)
-    return _sweep(state, bu, bi, perms, rowstats,
-                  jnp.asarray(a0, dt), jnp.asarray(b0, dt))
+    return _sweep(state, bu, bi, layout.head_user, layout.head_item,
+                  perms, rowstats, jnp.asarray(a0, dt), jnp.asarray(b0, dt))
 
 
 @partial(jax.jit, static_argnames=("mesh", "precision", "interpret"))

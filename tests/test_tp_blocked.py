@@ -486,27 +486,91 @@ def test_poisson_tp_head_matches_headless(mesh8):
                   rtol=3e-4, atol=3e-5)
 
 
-def test_gaussian_ext_reject_head(mesh8):
-    """The Gaussian and extended-Poisson rings reject head layouts with a
-    descriptive error instead of silently dropping the carved edges."""
-    import jax.numpy as jnp
+def test_poisson_ext_tp_head_matches_headless(mesh8):
+    """Extended Poisson with per-bucket head tiers: the psi-scaled M
+    products and the theta.(M@sb) scalar-rate identity land within
+    kernel rounding of the headless two-ring form."""
+    import jax
 
+    from pmf_tpu.models.poisson_mf import PoissonMFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        POISSON_EXT_AXIS_OF, POISSON_PAD_ONES, pad_state_rows,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_poisson_ext_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=9)
+    cfg = PoissonMFConfig(n_factors=4, random_state=2, dtype="float32",
+                          extended=True)
+
+    def run(head_kwargs):
+        layout = build_tp_blocked(u, i, x, n_users, n_items, 8,
+                                  dtype=np.float32, **_tile_kwargs(),
+                                  **head_kwargs)
+        state0 = pad_state_rows(
+            init_state(n_users, n_items, cfg), POISSON_EXT_AXIS_OF,
+            layout.n_users_pad, layout.n_items_pad,
+            ones_keys=POISSON_PAD_ONES)
+        layout, st = place_tp_blocked(layout, dict(state0), mesh8)
+        for _ in range(3):
+            st = tp_sweep_poisson_ext_blocked(st, layout, cfg.a0, cfg.b0,
+                                              mesh=mesh8, interpret=True)
+        return jax.device_get(st)
+
+    _assert_close(run({}), run(dict(head=[(0, 8, 8)], head_r0=4)),
+                  rtol=3e-4, atol=3e-5)
+
+
+def test_poisson_ext_tp_head_hybrid(mesh2x4):
+    """Extended head on the 2-D mesh: replica row bands (p_rep offsets)
+    in both ring passes combine through the per-pass psum."""
+    import jax
+
+    from pmf_tpu.models.poisson_mf import PoissonMFConfig, init_state
+    from pmf_tpu.parallel.tp import (
+        POISSON_EXT_AXIS_OF, POISSON_PAD_ONES, pad_state_rows,
+    )
+    from pmf_tpu.parallel.tp_blocked import (
+        build_tp_blocked, place_tp_blocked, tp_sweep_poisson_ext_blocked,
+    )
+
+    u, i, x, n_users, n_items = _ratings(seed=9)
+    cfg = PoissonMFConfig(n_factors=4, random_state=2, dtype="float32",
+                          extended=True)
+
+    def run(head_kwargs):
+        layout = build_tp_blocked(u, i, x, n_users, n_items, 4, dp=2,
+                                  dtype=np.float32, **_tile_kwargs(),
+                                  **head_kwargs)
+        state0 = pad_state_rows(
+            init_state(n_users, n_items, cfg), POISSON_EXT_AXIS_OF,
+            layout.n_users_pad, layout.n_items_pad,
+            ones_keys=POISSON_PAD_ONES)
+        layout, st = place_tp_blocked(layout, dict(state0), mesh2x4)
+        for _ in range(2):
+            st = tp_sweep_poisson_ext_blocked(st, layout, cfg.a0, cfg.b0,
+                                              mesh=mesh2x4, interpret=True)
+        return jax.device_get(st)
+
+    _assert_close(run({}), run(dict(head=[(0, 8, 8)], head_r0=4)),
+                  rtol=3e-4, atol=3e-5)
+
+
+def test_gaussian_rejects_head(mesh8):
+    """The Gaussian ring rejects head layouts with a descriptive error
+    instead of silently dropping the carved edges."""
     from pmf_tpu.models.gaussian_mf import GaussianMFConfig
     from pmf_tpu.models.gaussian_mf import init_state as g_init
     from pmf_tpu.parallel.tp import GAUSSIAN_AXIS_OF, pad_state_rows
     from pmf_tpu.parallel.tp_blocked import (
         build_tp_blocked, place_tp_blocked, tp_sweep_gaussian_blocked,
-        tp_sweep_poisson_ext_blocked,
     )
 
     u, i, x, n_users, n_items = _ratings(seed=11)
     layout = build_tp_blocked(u, i, x - x.mean(), n_users, n_items, 8,
                               dtype=np.float32, **_tile_kwargs(),
                               head=[(0, 8, 8)], head_r0=4)
-    from pmf_tpu.models.poisson_mf import PoissonMFConfig
-    from pmf_tpu.models.poisson_mf import init_state as p_init
-    from pmf_tpu.parallel.tp import POISSON_EXT_AXIS_OF, POISSON_PAD_ONES
-
     cfg = GaussianMFConfig(n_factors=4, random_state=0, dtype="float32")
     state0 = pad_state_rows(g_init(n_users, n_items, cfg),
                             GAUSSIAN_AXIS_OF, layout.n_users_pad,
@@ -517,13 +581,3 @@ def test_gaussian_ext_reject_head(mesh8):
                                   cfg.eta_beta2, cfg.eta_bias2,
                                   use_bias=True, covariance="full",
                                   mesh=mesh8, interpret=True)
-
-    pcfg = PoissonMFConfig(n_factors=4, random_state=0, dtype="float32",
-                           extended=True)
-    pstate0 = pad_state_rows(p_init(n_users, n_items, pcfg),
-                             POISSON_EXT_AXIS_OF, layout.n_users_pad,
-                             layout.n_items_pad, ones_keys=POISSON_PAD_ONES)
-    layout_p, stp = place_tp_blocked(layout, dict(pstate0), mesh8)
-    with pytest.raises(ValueError, match="dense head"):
-        tp_sweep_poisson_ext_blocked(stp, layout_p, 0.3, 0.3, mesh=mesh8,
-                                     interpret=True)
