@@ -216,8 +216,7 @@ def _local_perms(ids: np.ndarray, per: int, D: int):
     return old_of_new, new_of_old
 
 
-def _scatter_head_stack(d_of, step, r_rel, c, xv, D, dp, hu_r, hip,
-                        exact: bool):
+def _scatter_head_stack(d_of, step, r_rel, c, xv, D, dp, hu_r, hip):
     """Scatter one tier's head edges into the stacked per-bucket cell
     arrays ON DEVICE (as `pmf_tpu.data.blocked._build_head`: only the
     head edge triples cross the host->HBM link, not gigabytes of dense
@@ -230,21 +229,37 @@ def _scatter_head_stack(d_of, step, r_rel, c, xv, D, dp, hu_r, hip,
             f"TP head tier per-device stack ({dp}x{D}x{hu_r}x{hip} = "
             f"{per_dev} cells) exceeds int32 flat-index range; shrink "
             "head_bytes or the tier")
+    import jax as _jax
+
     p = r_rel // hu_r
     within = (((p * D + step) * hu_r + (r_rel - p * hu_r)) * hip + c)
+    on_cpu = _jax.default_backend() == "cpu"
     x_his, x_los, ms = [], [], []
     any_rem = False
     m_exact = True
     for dd in range(D):
         sel = d_of == dd
-        idx = jnp.asarray(within[sel].astype(np.int32))
-        xs = jnp.asarray(xv[sel])
-        X = jnp.zeros((per_dev,), jnp.float32).at[idx].add(xs)
-        M = jnp.zeros((per_dev,), jnp.float32).at[idx].add(1.0)
+        if on_cpu:
+            # np.bincount is ~10x jnp scatter-add on the host backend
+            # (tests, geometry scripts); on accelerators the device
+            # scatter keeps dense cells off the host->HBM link.
+            idx_np = within[sel].astype(np.int64)
+            X = jnp.asarray(np.bincount(idx_np, weights=xv[sel],
+                                        minlength=per_dev)
+                            .astype(np.float32))
+            M = jnp.asarray(np.bincount(idx_np, minlength=per_dev)
+                            .astype(np.float32))
+        else:
+            idx = jnp.asarray(within[sel].astype(np.int32))
+            xs = jnp.asarray(xv[sel])
+            X = jnp.zeros((per_dev,), jnp.float32).at[idx].add(xs)
+            M = jnp.zeros((per_dev,), jnp.float32).at[idx].add(1.0)
         x_hi = X.astype(jnp.bfloat16)
         rem = X - x_hi.astype(jnp.float32)
-        if not exact:
-            any_rem = any_rem or bool(jnp.any(rem != 0))
+        # Checked even for bf16-exact inputs: duplicate-cell SUMS can
+        # exceed bf16's exact-integer range (single-chip `_build_head`
+        # rule; `exact` only sized the byte budget).
+        any_rem = any_rem or bool(jnp.any(rem != 0))
         m_exact = m_exact and bool(jnp.max(M, initial=0.0) <= 256)
         x_his.append(x_hi)
         x_los.append(rem.astype(jnp.bfloat16))
@@ -284,7 +299,6 @@ def _build_dir(
     heads = []
     if head_tiers:
         x32 = x.astype(np.float32)
-        exact = not bool(np.any(x32.view(np.uint32) & np.uint32(0xFFFF)))
         tail = np.ones(len(s_glob), dtype=bool)
         for rs, rows, hi in head_tiers:
             hip = -(-hi // 512) * 512
@@ -293,7 +307,7 @@ def _build_dir(
             tail &= ~sel
             x_hi, x_lo, m = _scatter_head_stack(
                 d_of[sel], step[sel], s_loc[sel] - rs, o_loc[sel],
-                x32[sel], D, dp, hu_r, hip, exact)
+                x32[sel], D, dp, hu_r, hip)
             heads.append(TPHeadTier(x_hi=x_hi, x_lo=x_lo, m=m,
                                     row_start=int(rs), hu=int(rows),
                                     hi=int(hi), hip=int(hip),

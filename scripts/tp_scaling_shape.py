@@ -256,6 +256,23 @@ def write_md(report, path):
         "Expected per-chip rate at degree D ~ measured D=1 rate "
         "(bench detail `tp`) x eff(D) while ICI/MXU stays <= 1.",
     ]
+    if any(e.get("gaussian_note") for e in report["degrees"]):
+        lines += [
+            "",
+            "Head run caveats: the Gaussian family builds HEADLESS "
+            "layouts (its ring rejects a head), so its true geometry is "
+            "the no-head artifact (`TP_SCALING_r04.*`); the Gaussian "
+            "column here divides its ICI bytes by this head layout's "
+            "TAIL-only MXU time and overstates the ratio.  Head edge "
+            "fraction GROWS with D because the per-device head budget "
+            "is constant, so aggregate head capacity scales with the "
+            "device count — per-chip tail slots then shrink "
+            "super-linearly (eff(D) > 1).  The MXU-seconds model "
+            "charges head cells 3K dense MACs each at peak; the "
+            "measured engine comparison is "
+            "`scripts/tp_ring_bench.py` -> "
+            "`reports/tp_scaling/TP_RING_r04.json`.",
+        ]
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
