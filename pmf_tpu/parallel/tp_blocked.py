@@ -258,12 +258,13 @@ def _scatter_head_stack(d_of, step, r_rel, c, xv, D, dp, hu_r, hip):
         rem = X - x_hi.astype(jnp.float32)
         # Checked even for bf16-exact inputs: duplicate-cell SUMS can
         # exceed bf16's exact-integer range (single-chip `_build_head`
-        # rule; `exact` only sized the byte budget).
+        # rule).
         any_rem = any_rem or bool(jnp.any(rem != 0))
         m_exact = m_exact and bool(jnp.max(M, initial=0.0) <= 256)
         x_his.append(x_hi)
         x_los.append(rem.astype(jnp.bfloat16))
         ms.append(M)
+        del X, rem  # free the f32 (per_dev,) temporaries (GiB at 25M)
 
     shape = (dp, D, hu_r, hip) if dp > 1 else (D, hu_r, hip)
 
