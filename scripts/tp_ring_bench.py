@@ -39,6 +39,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--engines", default="blocked_head,blocked,flat")
+    ap.add_argument("--head_bytes", type=int, default=2 << 30,
+                    help="per-device head byte budget for blocked_head")
     ap.add_argument("--data_cache", default="data/cache/ml25m_planted_s11.npz")
     ap.add_argument("--out", default="reports/tp_scaling/TP_RING_r04.json")
     args = ap.parse_args(argv)
@@ -119,7 +121,8 @@ def main(argv=None):
                     block_users=tiles["block_users"],
                     block_items=tiles["block_items"],
                     chunk_size=tiles["chunk_size"], group=tiles["group"],
-                    head="auto" if eng == "blocked_head" else None)
+                    head="auto" if eng == "blocked_head" else None,
+                    head_bytes=args.head_bytes)
                 place, sweep = place_tp_blocked, (
                     lambda s, lo: tp_sweep_hpf_blocked(
                         s, lo, *hyper, mesh=mesh, interpret=interpret))
