@@ -30,8 +30,12 @@ return without synchronizing; iterations are chained (state feeds the
 next sweep) and bounded by one scalar device->host transfer, with the
 measured transfer round-trip subtracted.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail",
-"extra_metrics"}.
+Prints ONE COMPACT JSON line: {"metric", "value", "unit", "vs_baseline",
+"extra_metrics" (headline values only), "detail_artifact", "detail" (short
+summary)}; the full detail blob is written to reports/bench_detail_r05.json
+so the driver's bounded stdout tail always captures the headline intact
+(VERDICT r4 #1: rounds 3-4 recorded "parsed": null because the inlined
+detail overflowed the tail window).
 """
 
 from __future__ import annotations
@@ -677,9 +681,7 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
     value = hpf_results.get("hybrid_high") or hpf_results["blocked_high"]
     gval = g.get("updates_per_sec_4block")
     gfac = g.get("updates_per_sec_factor_only")
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "hpf_cavi_rating_updates_per_sec_per_chip",
                 "value": round(value, 1) if value else None,
                 "unit": "updates/s",
@@ -752,8 +754,47 @@ def main(n_users=162_000, n_items=59_000, nnz=25_000_000, K=20, iters=6):
                     "git_rev": _git_rev(),
                 },
             }
-        )
-    )
+
+    # VERDICT r4 #1: the driver captures only a short tail of stdout, and
+    # the inlined detail blob grew past that window for two rounds running
+    # (BENCH_r03/BENCH_r04 both recorded "parsed": null).  Write the FULL
+    # payload to a committed reports/ artifact and print one COMPACT line.
+    detail_path = os.path.join("reports", "bench_detail_r05.json")
+    abs_detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              detail_path)
+    try:
+        os.makedirs(os.path.dirname(abs_detail), exist_ok=True)
+        with open(abs_detail, "w") as f:
+            json.dump(payload, f, indent=1)
+    except Exception as e:  # never let the artifact write kill the headline
+        detail_path = f"unwritable ({e})"
+    d = payload["detail"]
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "vs_baseline": payload["vs_baseline"],
+        "extra_metrics": [
+            {k: m[k] for k in ("metric", "value", "unit", "vs_baseline")}
+            for m in payload["extra_metrics"]
+        ],
+        "detail_artifact": detail_path,
+        "detail": {
+            "scale": f"{d['n_users']}x{d['n_items']} nnz={d['nnz']} K={d['K']}",
+            "hpf_engines_Mupd_s": {
+                k: (round(v / 1e6, 1) if v else None)
+                for k, v in hpf_results.items()
+            },
+            "hpf_map_best_Mupd_s": (
+                round(hmap["updates_per_sec"] / 1e6, 1)
+                if hmap.get("updates_per_sec") else None),
+            "tp_ring1_blocked_Mupd_s": (
+                round(tp["ring1_blocked_updates_per_sec"] / 1e6, 1)
+                if tp.get("ring1_blocked_updates_per_sec") else None),
+            "git_rev": d.get("git_rev"),
+        },
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

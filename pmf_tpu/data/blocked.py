@@ -103,7 +103,13 @@ def _build_pass(
     reorder: bool = False,
     group: int = 16,
     seg_max_override: int | None = None,
+    device: bool = True,
 ) -> BlockedPass:
+    """``device=False`` keeps the data fields as HOST numpy arrays — the
+    TP bucket builder consumes them host-side (its old np.asarray pulls
+    round-tripped every pass through the tunnel-attached TPU: h2d in
+    jnp.asarray, then d2h back — ~100 MB each way per direction at 25M
+    edges), and the layout disk cache saves host arrays without a d2h."""
     n_self_blocks = -(-n_self // bs_self)
     n_other_blocks = -(-n_other // bs_other)
 
@@ -302,11 +308,12 @@ def _build_pass(
                 | (o % bs_other).astype(np.int32)
             )
             f_x[edge_final] = x.astype(dtype)
+    arr = jnp.asarray if device else np.asarray
     return BlockedPass(
-        loc=jnp.asarray(packed[:, None]),
-        x=jnp.asarray(f_x[:, None]),
-        chunk_self_block=jnp.asarray(f_sb),
-        chunk_other_block=jnp.asarray(f_ob),
+        loc=arr(packed[:, None]),
+        x=arr(f_x[:, None]),
+        chunk_self_block=arr(f_sb),
+        chunk_other_block=arr(f_ob),
         n_chunks=final_chunks,
         chunk_size=C,
         bs_self=bs_self,
@@ -319,9 +326,9 @@ def _build_pass(
         seg_chunks=seg_max,
         seg_first_block=tuple(seg_first),
         seg_n_blocks=tuple(seg_nblocks),
-        self_old_of_new=jnp.asarray(self_old_of_new),
-        other_old_of_new=jnp.asarray(other_old_of_new),
-        self_new_of_old=jnp.asarray(self_new_of_old),
+        self_old_of_new=arr(self_old_of_new),
+        other_old_of_new=arr(other_old_of_new),
+        self_new_of_old=arr(self_new_of_old),
         reordered=reorder,
         group=group,
     )

@@ -195,9 +195,9 @@ class TPBlockedLayout:
     n_devices: int
     nnz: int
     n_dp: int = 1
-    # Dense-head tiers per direction (empty = pure edge layout).  Only
-    # the HPF / plain-Poisson sweeps consume these; the Gaussian and
-    # extended-Poisson sweeps reject layouts carrying them.
+    # Dense-head tiers per direction (empty = pure edge layout).  The
+    # HPF, plain-Poisson and extended-Poisson sweeps consume these; only
+    # the Gaussian sweep rejects layouts carrying them.
     head_user: tuple = ()
     head_item: tuple = ()
 
@@ -304,7 +304,10 @@ def _build_dir(
         for rs, rows, hi in head_tiers:
             hip = -(-hi // 512) * 512
             hu_r = rows // dp
-            sel = (s_loc >= rs) & (s_loc < rs + rows) & (o_loc < hi)
+            # Select against the REMAINING tail so an edge can only ever
+            # land in one tier's stack (tiers_for also rejects overlapping
+            # tiers up front; this keeps the build safe regardless).
+            sel = tail & (s_loc >= rs) & (s_loc < rs + rows) & (o_loc < hi)
             tail &= ~sel
             x_hi, x_lo, m = _scatter_head_stack(
                 d_of[sel], step[sel], s_loc[sel] - rs, o_loc[sel],
@@ -324,10 +327,16 @@ def _build_dir(
         row = []
         for s in range(D):
             m = (d_of == d) & (step == s)
+            # device=False: bucket passes stay HOST numpy end-to-end (the
+            # implicit jnp.asarray h2d + np.asarray d2h round-trip per
+            # bucket pass was the TP build's wall-clock hotspot on the
+            # tunnel-attached chip — ~100 MB each way per direction at
+            # 25M edges); place_tp_blocked does the one real h2d.
             p = _build_pass(
                 s_loc[m], o_loc[m], np.asarray(x)[m], s_per, o_per,
                 bs_self, bs_other, chunk_size, dtype,
                 reorder=False, group=group, seg_max_override=seg_override,
+                device=False,
             )
             nseg = p.n_chunks // p.seg_chunks
             max_nseg = max(max_nseg, nseg)
@@ -405,8 +414,9 @@ def build_tp_blocked(
     directions (rows/hi in shard-LOCAL coordinates; each ``rows`` must be
     a multiple of ``head_r0 * dp``).  With a head, the dense-corner edges
     of every (device, step) bucket are stored as `TPHeadTier` cell stacks
-    and EXCLUDED from the edge passes; only the HPF and plain-Poisson TP
-    sweeps consume heads."""
+    and EXCLUDED from the edge passes; the HPF, plain-Poisson and
+    extended-Poisson TP sweeps consume heads (only Gaussian rejects
+    them).  Explicit tiers must cover disjoint row ranges."""
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     x = np.asarray(x, dtype=dtype)
@@ -433,6 +443,18 @@ def build_tp_blocked(
                     raise ValueError(
                         f"TP head tier ({rs}, {rows}, {hi}) invalid for "
                         f"shard shape ({s_per} x {o_per}), unit {unit}")
+            # Overlapping row ranges would scatter the shared corner edges
+            # (o < min(hi)) into BOTH tiers' stacks and double-count their
+            # statistics in the ring (every hi >= 1, so any row overlap is
+            # an edge overlap).  The "auto" path emits disjoint bands by
+            # construction; explicit tiers must too.
+            spans = sorted((rs, rs + rows, hi) for rs, rows, hi in tiers)
+            for (a0, a1, ah), (b0, b1, bh) in zip(spans, spans[1:]):
+                if b0 < a1:
+                    raise ValueError(
+                        f"TP head tiers overlap: rows [{a0},{a1}) x hi<{ah} "
+                        f"and [{b0},{b1}) x hi<{bh} share edges; tiers must "
+                        f"cover disjoint row ranges")
             return tuple(tiers)
         if head != "auto":
             raise ValueError(f"head must be None, 'auto' or a tier list, got {head!r}")

@@ -557,6 +557,19 @@ def test_poisson_ext_tp_head_hybrid(mesh2x4):
                   rtol=3e-4, atol=3e-5)
 
 
+def test_tp_explicit_tier_overlap_rejected():
+    """Overlapping explicit head tiers would scatter the shared corner
+    edges into BOTH tiers' stacks (double-counted ring statistics); the
+    TP build must reject them like the single-chip build does."""
+    from pmf_tpu.parallel.tp_blocked import build_tp_blocked
+
+    u, i, x, n_users, n_items = _ratings(seed=13)
+    with pytest.raises(ValueError, match="disjoint"):
+        build_tp_blocked(u, i, x, n_users, n_items, 2, dtype=np.float32,
+                         **_tile_kwargs(), head=[(0, 8, 8), (4, 8, 4)],
+                         head_r0=4)
+
+
 def test_gaussian_rejects_head(mesh8):
     """The Gaussian ring rejects head layouts with a descriptive error
     instead of silently dropping the carved edges."""
