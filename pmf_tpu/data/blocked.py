@@ -104,12 +104,23 @@ def _build_pass(
     group: int = 16,
     seg_max_override: int | None = None,
     device: bool = True,
+    seg_align_blocks: bool = True,
 ) -> BlockedPass:
     """``device=False`` keeps the data fields as HOST numpy arrays — the
     TP bucket builder consumes them host-side (its old np.asarray pulls
     round-tripped every pass through the tunnel-attached TPU: h2d in
     jnp.asarray, then d2h back — ~100 MB each way per direction at 25M
-    edges), and the layout disk cache saves host arrays without a d2h."""
+    edges), and the layout disk cache saves host arrays without a d2h.
+
+    ``seg_align_blocks=False`` drops the prefer-block-boundary segment
+    cuts: segments fill completely (the last excepted) and a block's
+    chunks may straddle two segments, whose partial sums the consumer
+    must ADD (the kernel geometry supports this; the CAVI sweeps and
+    `hpf_map.train_epoch_blocked` accumulate windows).  The MAP SGD
+    layout uses this — at ML-25M density (~600 chunks/block vs 512-chunk
+    segments) boundary alignment padded ~41% of all slots with dummy
+    chunks, pure kernel-time waste, and splitting a hot row band across
+    segments is exactly the batch decorrelation the SGD path wants."""
     n_self_blocks = -(-n_self // bs_self)
     n_other_blocks = -(-n_other // bs_other)
 
@@ -241,7 +252,7 @@ def _build_pass(
         span_end = int(np.searchsorted(pseq_sb, pseq_sb[start] + max_span,
                                        side="left"))
         end = min(end, max(span_end, start + 1))
-        if end < total_padded:
+        if seg_align_blocks and end < total_padded:
             cut = end
             while cut > start + 1 and pseq_sb[cut] == pseq_sb[cut - 1]:
                 cut -= 1
@@ -508,15 +519,32 @@ def _pick_tiers(
     return kept
 
 
+def _head_cell_index(nu: np.ndarray, ni: np.ndarray, hip: int) -> np.ndarray:
+    """Flat cell index of each head edge in the (hu, hip) dense arrays —
+    the layout cache persists exactly these (plus ratings) per tier."""
+    return nu.astype(np.int32) * np.int32(hip) + ni.astype(np.int32)
+
+
 def _build_head(
     nu: np.ndarray, ni: np.ndarray, x: np.ndarray, hu: int, hi: int, r0: int,
     row_start: int = 0,
 ) -> DenseHead:
-    """Scatter head edges (NEW-id space) into dense (hu, hip) cell arrays
-    ON DEVICE — only the head edge triples cross the host->HBM link, not
-    gigabytes of dense cells (the axon tunnel makes bulk host transfers
-    the build bottleneck otherwise).  Duplicate (u, i) pairs sum into X
-    and count into M.
+    hip = -(-hi // 512) * 512
+    return _scatter_head(_head_cell_index(nu, ni, hip),
+                         x.astype(np.float32), hu=hu, hi=hi, r0=r0,
+                         row_start=row_start)
+
+
+def _scatter_head(
+    idx: np.ndarray, x: np.ndarray, hu: int, hi: int, r0: int,
+    row_start: int = 0,
+) -> DenseHead:
+    """Scatter head edges (flat cell index + rating) into dense (hu, hip)
+    cell arrays ON DEVICE — only the head edge triples cross the
+    host->HBM link, not gigabytes of dense cells (the axon tunnel makes
+    bulk host transfers the build bottleneck otherwise; the layout cache
+    stores the triples and replays this scatter for the same reason).
+    Duplicate (u, i) pairs sum into X and count into M.
 
     Columns pad to a 512 multiple so the fused allocation kernel can tile
     512-wide (128-wide tiles made the grid overhead-bound)."""
@@ -526,8 +554,8 @@ def _build_head(
             f"head tier ({hu} x {hip}) exceeds int32 flat-index range "
             f"({hu * hip} cells >= 2^31); shrink head_bytes or the tier"
         )
-    idx = jnp.asarray(nu.astype(np.int32) * np.int32(hip) + ni.astype(np.int32))
-    xs = jnp.asarray(x.astype(np.float32))
+    idx = jnp.asarray(np.asarray(idx, np.int32))
+    xs = jnp.asarray(np.asarray(x, np.float32))
 
     @jax.jit
     def scatter(idx, xs):
@@ -566,6 +594,19 @@ def _build_head(
     )
 
 
+def _pass_to_device(p: BlockedPass) -> BlockedPass:
+    """Move a host-built pass's data fields into HBM (one h2d each)."""
+    return dataclasses.replace(
+        p,
+        loc=jnp.asarray(p.loc), x=jnp.asarray(p.x),
+        chunk_self_block=jnp.asarray(p.chunk_self_block),
+        chunk_other_block=jnp.asarray(p.chunk_other_block),
+        self_old_of_new=jnp.asarray(p.self_old_of_new),
+        other_old_of_new=jnp.asarray(p.other_old_of_new),
+        self_new_of_old=jnp.asarray(p.self_new_of_old),
+    )
+
+
 def build_blocked(
     u: np.ndarray,
     i: np.ndarray,
@@ -586,6 +627,7 @@ def build_blocked(
     head_row_mult: int = 1,
     tail_chunk_size: int | None = None,
     tail_group: int | None = None,
+    cache_dir: str | None = None,
 ) -> BlockedCOO:
     """``head``: None = pure edge layout; "auto" = size a dense staircase
     from the data (requires ``reorder``); (hu, hi) = explicit head
@@ -599,7 +641,14 @@ def build_blocked(
     chunk_size/group for the TAIL passes from the residual edge count
     (`auto_tiles(tail=True)` — the tail is several times sparser than the
     full data, so full-density tiles are padding-bound), with this Mosaic
-    group cap."""
+    group cap.
+
+    ``cache_dir`` (or the PMF_TPU_LAYOUT_CACHE env var): persist the
+    built layout to disk keyed by (edge data, every geometry argument)
+    and reload byte-identical on repeat builds
+    (`pmf_tpu.data.layout_cache`)."""
+    from pmf_tpu.data import layout_cache as lc
+
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     x = np.asarray(x)
@@ -607,12 +656,42 @@ def build_blocked(
         n_users = int(u.max()) + 1
     if n_items is None:
         n_items = int(i.max()) + 1
+
+    cdir = lc.resolve_cache_dir(cache_dir)
+    cpath = None
+    if cdir is not None:
+        params = dict(
+            n_users=n_users, n_items=n_items, block_users=block_users,
+            block_items=block_items, chunk_size=chunk_size,
+            dtype=np.dtype(dtype).str, seg_chunks=seg_chunks,
+            reorder=reorder, group=group, head=repr(head),
+            head_bytes=head_bytes, head_r0=head_r0,
+            tail_group_cap=tail_group_cap, head_row_mult=head_row_mult,
+            tail_chunk_size=tail_chunk_size, tail_group=tail_group,
+        )
+        key = lc.make_key("blocked", lc.data_fingerprint(u, i, x), params)
+        cpath = lc.entry_path(cdir, "blocked", key)
+        hit = lc.load_entry(cpath)
+        if hit is not None:
+            return lc.unpack_blocked(*hit)
+
+    def _save_and_finish(by_user, by_item, head_triples, heads):
+        if cpath is not None:
+            arrays = {}
+            meta = lc.pack_blocked(by_user, by_item, head_triples, arrays)
+            lc.save_entry(cpath, arrays, meta)
+        return BlockedCOO(by_user=_pass_to_device(by_user),
+                          by_item=_pass_to_device(by_item),
+                          head=tuple(heads) if heads else None)
+
     if head is None:
         by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items,
-                              chunk_size, dtype, seg_chunks, reorder, group)
+                              chunk_size, dtype, seg_chunks, reorder, group,
+                              device=False)
         by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users,
-                              chunk_size, dtype, seg_chunks, reorder, group)
-        return BlockedCOO(by_user=by_user, by_item=by_item, head=None)
+                              chunk_size, dtype, seg_chunks, reorder, group,
+                              device=False)
+        return _save_and_finish(by_user, by_item, [], [])
 
     if not reorder:
         raise ValueError("head requires reorder=True (head = top-count corner)")
@@ -660,19 +739,26 @@ def build_blocked(
         tiers = [(0, hu, hi)] if hu and hi else []
     if not tiers:
         by_user = _build_pass(u, i, x, n_users, n_items, block_users, block_items,
-                              chunk_size, dtype, seg_chunks, True, group)
+                              chunk_size, dtype, seg_chunks, True, group,
+                              device=False)
         by_item = _build_pass(i, u, x, n_items, n_users, block_items, block_users,
-                              chunk_size, dtype, seg_chunks, True, group)
-        return BlockedCOO(by_user=by_user, by_item=by_item, head=None)
+                              chunk_size, dtype, seg_chunks, True, group,
+                              device=False)
+        return _save_and_finish(by_user, by_item, [], [])
 
     in_head = np.zeros(len(nu), dtype=bool)
     heads = []
+    head_triples = []
     for rs, rows, hi_t in tiers:
         mask = (nu >= rs) & (nu < rs + rows) & (ni < hi_t)
-        heads.append(
-            _build_head(nu[mask] - rs, ni[mask], x32[mask], rows, hi_t,
-                        min(r0, rows), row_start=rs)
-        )
+        hip_t = -(-hi_t // 512) * 512
+        idx_t = _head_cell_index(nu[mask] - rs, ni[mask], hip_t)
+        x_t = x32[mask]
+        r0_t = min(r0, rows)
+        heads.append(_scatter_head(idx_t, x_t, hu=rows, hi=hi_t, r0=r0_t,
+                                   row_start=rs))
+        head_triples.append((idx_t, x_t,
+                             dict(hu=rows, hi=hi_t, r0=r0_t, row_start=rs)))
         in_head |= mask
     dense = tuple(heads)
     tu, ti, tx = nu[~in_head], ni[~in_head], x[~in_head]
@@ -689,21 +775,23 @@ def build_blocked(
     # them); the GLOBAL permutations attach afterwards so kernel wrappers
     # permute tables / un-permute stats exactly as in the headless layout.
     by_user = _build_pass(tu, ti, tx, n_users, n_items, block_users, block_items,
-                          chunk_size, dtype, seg_chunks, False, group)
+                          chunk_size, dtype, seg_chunks, False, group,
+                          device=False)
     by_item = _build_pass(ti, tu, tx, n_items, n_users, block_items, block_users,
-                          chunk_size, dtype, seg_chunks, False, group)
+                          chunk_size, dtype, seg_chunks, False, group,
+                          device=False)
     by_user = dataclasses.replace(
         by_user,
-        self_old_of_new=jnp.asarray(user_old_of_new),
-        other_old_of_new=jnp.asarray(item_old_of_new),
-        self_new_of_old=jnp.asarray(user_new_of_old),
+        self_old_of_new=user_old_of_new,
+        other_old_of_new=item_old_of_new,
+        self_new_of_old=user_new_of_old,
         reordered=True,
     )
     by_item = dataclasses.replace(
         by_item,
-        self_old_of_new=jnp.asarray(item_old_of_new),
-        other_old_of_new=jnp.asarray(user_old_of_new),
-        self_new_of_old=jnp.asarray(item_new_of_old),
+        self_old_of_new=item_old_of_new,
+        other_old_of_new=user_old_of_new,
+        self_new_of_old=item_new_of_old,
         reordered=True,
     )
-    return BlockedCOO(by_user=by_user, by_item=by_item, head=dense)
+    return _save_and_finish(by_user, by_item, head_triples, dense)

@@ -128,3 +128,124 @@ def ranking_metrics(
         out[f"recall@{k}"] = float(hit.mean())
         out[f"ndcg@{k}"] = float(np.where(hit, 1.0 / np.log2(rank + 1.0), 0.0).mean())
     return out
+
+
+@jax.jit
+def _sampled_ranks(theta_rows, beta_cands, target_scores):
+    """rank = 1 + #{negatives scoring strictly above the target}."""
+    s = jnp.sum(theta_rows[:, None, :] * beta_cands, axis=-1)
+    return 1.0 + jnp.sum((s > target_scores[:, None]).astype(jnp.float32),
+                         axis=1)
+
+
+def sampled_ranking_metrics(
+    theta,
+    beta,
+    train_u: np.ndarray,
+    train_i: np.ndarray,
+    test_u: np.ndarray,
+    test_i: np.ndarray,
+    n_negatives: int = 100,
+    seed: int = 0,
+    ks=(10,),
+    batch: int = 8192,
+    max_resample_rounds: int = 8,
+) -> dict:
+    """Leave-one-out ranking with K sampled negatives — the standard
+    implicit-feedback protocol (He et al. NCF evaluation): each held-out
+    (u, i*) pair is ranked among ``n_negatives`` items sampled uniformly
+    from the user's UNSEEN items (not in train(u), != i*), reporting
+    HR@k (hit rate = fraction ranked <= k) and NDCG@k.
+
+    Exists because exact full-catalog recall@10 at 59k items sits at the
+    noise floor (random ~1.7e-4; VERDICT r4 weak #3 — a gate there cannot
+    catch a ranking regression).  Under this protocol random scoring
+    gives NDCG@10 ~ 0.045 and HR@10 ~ 0.099, so a planted-signal model
+    must clear them by a wide margin to pass.
+
+    Negative sampling is vectorized: uniform draws, collision check
+    against the sorted train-key array (searchsorted membership), a few
+    resample rounds for the ~0.25% colliding draws (collision odds =
+    count(u)/n_items), then a final assertion that no train item or the
+    target survived.  Deterministic in ``seed``.
+
+    Reference analogue: the reference has no ranking eval at all; its
+    closest surface is the top-dimension divergence analysis
+    (`/root/reference/src/analysis/analyze_top_dimensions.py:11-129`).
+    """
+    theta = jnp.asarray(theta, jnp.float32)
+    beta = jnp.asarray(beta, jnp.float32)
+    n_items = beta.shape[0]
+    test_u = np.asarray(test_u, dtype=np.int64)
+    test_i = np.asarray(test_i, dtype=np.int64)
+    P = len(test_u)
+    if P == 0:
+        return {"n_pairs": 0}
+
+    train_keys = np.sort(
+        np.asarray(train_u, np.int64) * n_items + np.asarray(train_i, np.int64)
+    )
+
+    def is_seen(users, items):
+        if not len(train_keys):
+            return np.zeros(len(users), dtype=bool)
+        keys = users * n_items + items
+        pos = np.searchsorted(train_keys, keys)
+        pos = np.minimum(pos, len(train_keys) - 1)
+        return train_keys[pos] == keys
+
+    rng = np.random.default_rng(seed)
+    cands = rng.integers(0, n_items, size=(P, n_negatives), dtype=np.int64)
+    users_b = np.broadcast_to(test_u[:, None], cands.shape)
+    bad = is_seen(users_b.ravel(), cands.ravel()).reshape(cands.shape)
+    bad |= cands == test_i[:, None]
+    for _ in range(max_resample_rounds):
+        n_bad = int(bad.sum())
+        if n_bad == 0:
+            break
+        redraw = rng.integers(0, n_items, size=n_bad, dtype=np.int64)
+        cands[bad] = redraw
+        bu = np.broadcast_to(test_u[:, None], cands.shape)[bad]
+        still = is_seen(bu, redraw) | (redraw == test_i[:, None].repeat(
+            n_negatives, 1)[bad])
+        nb = np.zeros_like(bad)
+        nb[bad] = still
+        bad = nb
+    if bad.any():
+        # Dense users (small catalogs / smoke tests): rejection sampling
+        # stalls when a user has rated most items.  Fall back to exact
+        # sampling from the user's true unseen set, WITH replacement when
+        # it is smaller than the remaining slots (duplicated negatives
+        # only flatten that user's rank resolution, never bias it).
+        for p in np.flatnonzero(bad.any(axis=1)):
+            u = int(test_u[p])
+            lo = np.searchsorted(train_keys, u * n_items)
+            hi = np.searchsorted(train_keys, (u + 1) * n_items)
+            seen = (train_keys[lo:hi] % n_items).astype(np.int64)
+            unseen = np.setdiff1d(
+                np.arange(n_items, dtype=np.int64),
+                np.concatenate([seen, [test_i[p]]]), assume_unique=False)
+            cells = np.flatnonzero(bad[p])
+            if len(unseen) == 0:
+                raise RuntimeError(
+                    f"user {u} has rated the entire catalog; no negatives "
+                    "exist for the sampled protocol")
+            cands[p, cells] = rng.choice(unseen, size=len(cells),
+                                         replace=len(unseen) < len(cells))
+
+    ranks = np.empty(P, dtype=np.float64)
+    for s in range(0, P, batch):
+        e = min(s + batch, P)
+        rows = gather_rows(theta, jnp.asarray(test_u[s:e]))
+        target = edge_dot(rows, gather_rows(beta, jnp.asarray(test_i[s:e])))
+        bc = jnp.take(beta, jnp.asarray(cands[s:e]), axis=0)
+        ranks[s:e] = np.asarray(_sampled_ranks(rows, bc, target))
+
+    out = {"n_pairs": P, "n_negatives": n_negatives,
+           "mean_rank": float(ranks.mean())}
+    for k in ks:
+        hit = ranks <= k
+        out[f"hr@{k}"] = float(hit.mean())
+        out[f"ndcg@{k}"] = float(
+            np.where(hit, 1.0 / np.log2(ranks + 1.0), 0.0).mean())
+    return out

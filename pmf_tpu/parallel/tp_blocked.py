@@ -216,6 +216,26 @@ def _local_perms(ids: np.ndarray, per: int, D: int):
     return old_of_new, new_of_old
 
 
+def _head_stack_inputs(d_of, step, r_rel, c, xv, D, dp, hu_r, hip):
+    """Per-device flat cell indices + ratings of one tier's head edges —
+    the exact `_scatter_head_stack_from` inputs, and what the layout
+    cache persists (8 B/edge instead of the multi-GiB dense stacks)."""
+    per_dev = dp * D * hu_r * hip
+    if per_dev >= 2**31:
+        raise ValueError(
+            f"TP head tier per-device stack ({dp}x{D}x{hu_r}x{hip} = "
+            f"{per_dev} cells) exceeds int32 flat-index range; shrink "
+            "head_bytes or the tier")
+    p = r_rel // hu_r
+    within = (((p * D + step) * hu_r + (r_rel - p * hu_r)) * hip + c)
+    idx_per_dev, x_per_dev = [], []
+    for dd in range(D):
+        sel = d_of == dd
+        idx_per_dev.append(within[sel].astype(np.int32))
+        x_per_dev.append(np.asarray(xv[sel], np.float32))
+    return idx_per_dev, x_per_dev
+
+
 def _scatter_head_stack(d_of, step, r_rel, c, xv, D, dp, hu_r, hip):
     """Scatter one tier's head edges into the stacked per-bucket cell
     arrays ON DEVICE (as `pmf_tpu.data.blocked._build_head`: only the
@@ -223,35 +243,35 @@ def _scatter_head_stack(d_of, step, r_rel, c, xv, D, dp, hu_r, hip):
     cells).  Returns (x_hi, x_lo|None, m) shaped (D, [dp,] D, hu_r, hip);
     dtypes follow the single-chip DenseHead rules, decided across ALL
     buckets so the stack is uniform."""
+    idx_per_dev, x_per_dev = _head_stack_inputs(
+        d_of, step, r_rel, c, xv, D, dp, hu_r, hip)
+    return _scatter_head_stack_from(idx_per_dev, x_per_dev, D, dp, hu_r, hip)
+
+
+def _scatter_head_stack_from(idx_per_dev, x_per_dev, D, dp, hu_r, hip):
+    """Device-scatter half of `_scatter_head_stack` (fresh builds compute
+    the inputs; cached loads replay them from disk)."""
     per_dev = dp * D * hu_r * hip
-    if per_dev >= 2**31:
-        raise ValueError(
-            f"TP head tier per-device stack ({dp}x{D}x{hu_r}x{hip} = "
-            f"{per_dev} cells) exceeds int32 flat-index range; shrink "
-            "head_bytes or the tier")
     import jax as _jax
 
-    p = r_rel // hu_r
-    within = (((p * D + step) * hu_r + (r_rel - p * hu_r)) * hip + c)
     on_cpu = _jax.default_backend() == "cpu"
     x_his, x_los, ms = [], [], []
     any_rem = False
     m_exact = True
     for dd in range(D):
-        sel = d_of == dd
         if on_cpu:
             # np.bincount is ~10x jnp scatter-add on the host backend
             # (tests, geometry scripts); on accelerators the device
             # scatter keeps dense cells off the host->HBM link.
-            idx_np = within[sel].astype(np.int64)
-            X = jnp.asarray(np.bincount(idx_np, weights=xv[sel],
+            idx_np = idx_per_dev[dd].astype(np.int64)
+            X = jnp.asarray(np.bincount(idx_np, weights=x_per_dev[dd],
                                         minlength=per_dev)
                             .astype(np.float32))
             M = jnp.asarray(np.bincount(idx_np, minlength=per_dev)
                             .astype(np.float32))
         else:
-            idx = jnp.asarray(within[sel].astype(np.int32))
-            xs = jnp.asarray(xv[sel])
+            idx = jnp.asarray(idx_per_dev[dd])
+            xs = jnp.asarray(x_per_dev[dd])
             X = jnp.zeros((per_dev,), jnp.float32).at[idx].add(xs)
             M = jnp.zeros((per_dev,), jnp.float32).at[idx].add(1.0)
         x_hi = X.astype(jnp.bfloat16)
@@ -287,7 +307,9 @@ def _build_dir(
     passes (host numpy), carving ``head_tiers`` [(row_start, rows, hi)]
     into dense `TPHeadTier` stacks first; the edge passes hold only the
     residual tail, and segment sizing (``seg_for(s_per, resid_nnz)``)
-    sees the residual count.  Returns (TPBlockedDir, tuple[TPHeadTier])."""
+    sees the residual count.  Returns (TPBlockedDir, tuple[TPHeadTier],
+    head_triples) — the triples are the per-tier `_scatter_head_stack`
+    inputs, kept for the layout cache."""
     from pmf_tpu.data.blocked import _build_pass
 
     d_of = s_glob // s_per
@@ -298,6 +320,7 @@ def _build_dir(
     x = np.asarray(x)
 
     heads = []
+    head_triples = []
     if head_tiers:
         x32 = x.astype(np.float32)
         tail = np.ones(len(s_glob), dtype=bool)
@@ -309,13 +332,15 @@ def _build_dir(
             # tiers up front; this keeps the build safe regardless).
             sel = tail & (s_loc >= rs) & (s_loc < rs + rows) & (o_loc < hi)
             tail &= ~sel
-            x_hi, x_lo, m = _scatter_head_stack(
+            idx_per_dev, x_per_dev = _head_stack_inputs(
                 d_of[sel], step[sel], s_loc[sel] - rs, o_loc[sel],
                 x32[sel], D, dp, hu_r, hip)
-            heads.append(TPHeadTier(x_hi=x_hi, x_lo=x_lo, m=m,
-                                    row_start=int(rs), hu=int(rows),
-                                    hi=int(hi), hip=int(hip),
-                                    r0=int(head_r0)))
+            x_hi, x_lo, m = _scatter_head_stack_from(
+                idx_per_dev, x_per_dev, D, dp, hu_r, hip)
+            tm = dict(row_start=int(rs), hu=int(rows), hi=int(hi),
+                      hip=int(hip), r0=int(head_r0))
+            head_triples.append((idx_per_dev, x_per_dev, tm))
+            heads.append(TPHeadTier(x_hi=x_hi, x_lo=x_lo, m=m, **tm))
         d_of, step = d_of[tail], step[tail]
         s_loc, o_loc, x = s_loc[tail], o_loc[tail], x[tail]
 
@@ -390,7 +415,7 @@ def _build_dir(
         out_rows=int(max_blocks) * bs_self,
         n_self_blocks=-(-s_per // bs_self),
         n_other_blocks=-(-o_per // bs_other),
-    ), tuple(heads)
+    ), tuple(heads), head_triples
 
 
 def build_tp_blocked(
@@ -400,6 +425,7 @@ def build_tp_blocked(
     chunk_size: int = 128, group: int = 16,
     head=None, head_bytes: int = 2 << 30, head_r0: int = 512,
     head_min_nnz: int = 4_000_000,
+    cache_dir: str | None = None,
 ) -> TPBlockedLayout:
     """Host-side build.  Tile parameters should come from
     `pmf_tpu.data.blocked.auto_tiles` on the GLOBAL shape — each bucket's
@@ -416,13 +442,36 @@ def build_tp_blocked(
     of every (device, step) bucket are stored as `TPHeadTier` cell stacks
     and EXCLUDED from the edge passes; the HPF, plain-Poisson and
     extended-Poisson TP sweeps consume heads (only Gaussian rejects
-    them).  Explicit tiers must cover disjoint row ranges."""
+    them).  Explicit tiers must cover disjoint row ranges.
+
+    ``cache_dir`` (or PMF_TPU_LAYOUT_CACHE): persist/reload the built
+    layout keyed by (edge data, geometry) — see
+    `pmf_tpu.data.layout_cache` (edge buckets verbatim; head tiers as
+    scatter triples, replayed on device at load)."""
+    from pmf_tpu.data import layout_cache as lc
+
     u = np.asarray(u, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
     x = np.asarray(x, dtype=dtype)
     D = int(n_devices)
     users_per = _round_up(n_users, D) // D
     items_per = _round_up(n_items, D) // D
+
+    cdir = lc.resolve_cache_dir(cache_dir)
+    cpath = None
+    if cdir is not None:
+        params = dict(
+            n_users=n_users, n_items=n_items, n_devices=D, dp=dp,
+            dtype=np.dtype(dtype).str, block_users=block_users,
+            block_items=block_items, chunk_size=chunk_size, group=group,
+            head=repr(head), head_bytes=head_bytes, head_r0=head_r0,
+            head_min_nnz=head_min_nnz,
+        )
+        key = lc.make_key("tp_blocked", lc.data_fingerprint(u, i, x), params)
+        cpath = lc.entry_path(cdir, "tp_blocked", key)
+        hit = lc.load_entry(cpath)
+        if hit is not None:
+            return lc.unpack_tp(*hit)
 
     u_o2n, u_n2o = _local_perms(u, users_per, D)
     i_o2n, i_n2o = _local_perms(i, items_per, D)
@@ -490,14 +539,14 @@ def build_tp_blocked(
         seg = min(seg, max(group, int(est_chunks / 4)))
         return max(group, (seg // group) * group)
 
-    by_user, head_user = _build_dir(
+    by_user, head_user, triples_user = _build_dir(
         u, i, x, users_per, items_per, D, u_n2o, i_n2o,
         block_users, block_items, chunk_size, group, seg_for,
         dtype, dp,
         head_tiers=tiers_for(u, i, users_per, items_per, u_n2o, i_n2o),
         head_r0=head_r0,
     )
-    by_item, head_item = _build_dir(
+    by_item, head_item, triples_item = _build_dir(
         i, u, x, items_per, users_per, D, i_n2o, u_n2o,
         block_items, block_users, chunk_size, group, seg_for,
         dtype, dp,
@@ -505,16 +554,12 @@ def build_tp_blocked(
         head_r0=head_r0,
     )
 
-    uc = np.zeros(users_per * D, dtype=np.float32)
-    ic = np.zeros(items_per * D, dtype=np.float32)
-    np.add.at(uc, u, 1.0)
-    np.add.at(ic, i, 1.0)
+    uc = np.bincount(u, minlength=users_per * D).astype(np.float32)
+    ic = np.bincount(i, minlength=items_per * D).astype(np.float32)
     x64 = np.asarray(x, np.float64)
-    sxu = np.zeros(users_per * D, dtype=np.float64)
-    sxi = np.zeros(items_per * D, dtype=np.float64)
-    np.add.at(sxu, u, x64)
-    np.add.at(sxi, i, x64)
-    return TPBlockedLayout(
+    sxu = np.bincount(u, weights=x64, minlength=users_per * D)
+    sxi = np.bincount(i, weights=x64, minlength=items_per * D)
+    layout = TPBlockedLayout(
         by_user=by_user, by_item=by_item,
         u_old_of_new=u_o2n, u_new_of_old=u_n2o,
         i_old_of_new=i_o2n, i_new_of_old=i_n2o,
@@ -526,6 +571,11 @@ def build_tp_blocked(
         n_devices=D, nnz=int(len(u)), n_dp=int(dp),
         head_user=head_user, head_item=head_item,
     )
+    if cpath is not None:
+        arrays = {}
+        meta = lc.pack_tp(layout, triples_user, triples_item, arrays)
+        lc.save_entry(cpath, arrays, meta)
+    return layout
 
 
 def place_tp_blocked(layout: TPBlockedLayout, state: dict, mesh):
@@ -690,10 +740,22 @@ def _blocked_ring_pass(
     p_rep = (jnp.zeros((), jnp.int32) if dp_ax is None
              else jax.lax.axis_index(dp_ax))
 
+    # ICI bytes: decomposition commutes with rotation (it is per-row), so
+    # when the bf16 planes are no wider than the f32 table (parts <= 2)
+    # AND no dense head needs the raw f32 values back, rotate the planes
+    # instead — halves the ppermute payload at parts=1, matches it at 2.
+    pre_dec = (not highest) and parts <= 2 and not head
+    T_rot = decompose_bf16(T_own_perm, parts) if pre_dec else T_own_perm
+
     def body(tabs, xs_s, accs):
         (T,) = tabs
         seg_s, head_s = xs_s
-        T_t = T.astype(dt) if highest else decompose_bf16(T, parts)
+        if highest:
+            T_t = T.astype(dt)
+        elif pre_dec:
+            T_t = T
+        else:
+            T_t = decompose_bf16(T, parts)
         T_pad = jnp.pad(T_t, ((0, n_other_pad - T_t.shape[0]), (0, 0)))
         (acc,) = accs
         acc = _segment_scan(
@@ -1027,12 +1089,16 @@ def _tp_sweep_gaussian_blocked_impl(
         def dec(t, parts):
             return t.astype(f32) if highest else decompose_bf16(t, parts)
 
-        def ring_stats(dirn, bucket, kernel, w_out, T_own, table_prep,
-                       selftab=None):
-            """Run one ring pass of a pass-through Gaussian kernel:
-            rotate the f32 augmented table, per step ``table_prep`` turns
-            it into the padded kernel operand.  Returns the accumulated
-            (s_per-trimmed later) window accumulator."""
+        def ring_stats(dirn, bucket, kernel, w_out, T_rot, selftab=None):
+            """Run one ring pass of a pass-through Gaussian kernel.
+            ``T_rot`` is the owner's table ALREADY decomposed to the
+            kernel's bf16 parts (f32 in "highest") — the decomposition is
+            per-row, so doing it before the ring is exactly equivalent to
+            per-step, and the ppermute payload shrinks to the bf16 planes
+            (VERDICT r4 #6: the f32 231-lane augmented table made the
+            Gaussian ring ICI-bound from D=2; "mid" rotates 1.83x fewer
+            bytes, "fast" 2x).  Returns the accumulated (s_per-trimmed
+            later) window accumulator."""
             SEG, C, G = dirn.seg_chunks, dirn.chunk_size, dirn.group
             n_self_pad = dirn.n_self_blocks * dirn.bs_self
             n_other_pad = dirn.n_other_blocks * dirn.bs_other
@@ -1046,18 +1112,14 @@ def _tp_sweep_gaussian_blocked_impl(
                 self_args = (spad,)
                 self_width = spad.shape[1]
 
-            def make_call(other_width):
-                return _make_generic_call(
-                    kernel, dirn, w_out=w_out, self_width=self_width,
-                    other_width=other_width, interpret=interpret)
-
+            call = _make_generic_call(
+                kernel, dirn, w_out=w_out, self_width=self_width,
+                other_width=T_rot.shape[1], interpret=interpret)
             acc0 = jnp.zeros((n_self_pad + out_rows, w_out), f32)
 
             def body(tabs, xs_s, accs):
                 (Tt,) = tabs
-                aug = table_prep(Tt)
-                aug = jnp.pad(aug, ((0, n_other_pad - aug.shape[0]), (0, 0)))
-                call = make_call(aug.shape[1])
+                aug = jnp.pad(Tt, ((0, n_other_pad - Tt.shape[0]), (0, 0)))
                 (acc,) = accs
                 acc = _segment_scan(
                     lambda sb_, ob_, l_, x_: call(sb_, ob_, l_, x_,
@@ -1066,7 +1128,7 @@ def _tp_sweep_gaussian_blocked_impl(
                     acc, xs_s, SEG=SEG, C=C, out_rows=out_rows, w_out=w_out)
                 return (acc,)
 
-            (acc,) = _ring((T_own,), (sb, ob, loc, xs, row0, nrows),
+            (acc,) = _ring((T_rot,), (sb, ob, loc, xs, row0, nrows),
                            (acc0,), body, D, ring_ax, dp_ax)
             return acc
 
@@ -1083,11 +1145,11 @@ def _tp_sweep_gaussian_blocked_impl(
                 [m_other_own.astype(f32), bcol.astype(f32)[:, None],
                  pack_tri(A_flat, K).astype(f32)], axis=1
             )[perm_other_o2n]
-
-            def prep(Tt):
-                mb = dec(Tt[:, : K + 1], p_mb)
-                tri = dec(Tt[:, K + 1 :], p_A)
-                return jnp.concatenate([mb, tri], axis=1)
+            # Decompose the two payload sections to their bf16 parts
+            # BEFORE the ring (exactly equivalent; fewer rotated bytes).
+            T_rot = jnp.concatenate(
+                [dec(T_own[:, : K + 1], p_mb), dec(T_own[:, K + 1 :], p_A)],
+                axis=1)
 
             kernel = _ft.partial(
                 _factor_kernel, bs_self=dirn.bs_self, bs_other=dirn.bs_other,
@@ -1096,7 +1158,7 @@ def _tp_sweep_gaussian_blocked_impl(
                 with_bias_stats=lagged,
             )
             w_out = 2 * K + T + (2 if lagged else 0)
-            acc = ring_stats(dirn, bucket, kernel, w_out, T_own, prep)
+            acc = ring_stats(dirn, bucket, kernel, w_out, T_rot)
             s_per = m_self.shape[0]
             out = acc[:s_per][perm_self_n2o].astype(dt)
             S_w, S_m = out[:, :K], out[:, K : 2 * K]
@@ -1136,8 +1198,8 @@ def _tp_sweep_gaussian_blocked_impl(
                 chunk_size=dirn.chunk_size, parts=d_parts, highest=highest,
                 k=K, use_bias=use_bias, group=dirn.group,
             )
-            acc = ring_stats(dirn, bucket, kernel, 3 * K, T_own,
-                             lambda Tt: dec(Tt, d_parts), selftab=selftab)
+            acc = ring_stats(dirn, bucket, kernel, 3 * K,
+                             dec(T_own, d_parts), selftab=selftab)
             s_per = m_self.shape[0]
             out = acc[:s_per][perm_self_n2o].astype(dt)
             S_mr, S_sq, S_mm = out[:, :K], out[:, K : 2 * K], out[:, 2 * K :]
@@ -1160,8 +1222,8 @@ def _tp_sweep_gaussian_blocked_impl(
                 chunk_size=dirn.chunk_size, parts=d_parts, highest=highest,
                 k=K, group=dirn.group,
             )
-            acc = ring_stats(dirn, bucket, kernel, K + 2, T_own,
-                             lambda Tt: dec(Tt, d_parts))
+            acc = ring_stats(dirn, bucket, kernel, K + 2,
+                             dec(T_own, d_parts))
             s_per = b_self.shape[0]
             out = acc[:s_per][perm_self_n2o].astype(dt)
             S_m, S_b, S_x = out[:, :K], out[:, K], out[:, K + 1]

@@ -146,6 +146,12 @@ def main():
     from pmf_tpu.utils.platform import setup_cache
 
     setup_cache()
+    # Layout disk cache: the compare and train stages fit the same models
+    # on the same train split in separate processes — the second build of
+    # each identical layout is a reload (pmf_tpu.data.layout_cache).
+    os.environ.setdefault(
+        "PMF_TPU_LAYOUT_CACHE",
+        os.path.join(os.path.abspath(args.workdir), "layout_cache"))
 
     os.makedirs(args.workdir, exist_ok=True)
     # Resolve paths before chdir.

@@ -107,9 +107,9 @@ def main(argv=None):
     ap.add_argument("--n_factors", type=int, default=20)
     ap.add_argument("--degrees", default="1,2,4,8")
     ap.add_argument("--seed", type=int, default=11)
-    ap.add_argument("--data_cache", default="data/cache/ml25m_planted_s11.npz")
+    ap.add_argument("--data_cache", default="reports/cache/ml25m_planted_s11.npz")
     ap.add_argument("--out", default="reports/tp_scaling")
-    ap.add_argument("--tag", default="r04")
+    ap.add_argument("--tag", default="r05")
     ap.add_argument("--no_balance", action="store_true",
                     help="skip the count-balanced global row deal the "
                          "production TP facades apply (naive contiguous "
@@ -135,9 +135,21 @@ def main(argv=None):
 
     tiles = auto_tiles(args.n_users, args.n_items, len(u))
     K = args.n_factors
-    # HPF's ring rotates the (rows, K) G_other table; the Gaussian
-    # augmented table is [m | b | tri(V+mm^T)]: K + 1 + K(K+1)/2 lanes.
+    # HPF's ring rotates the (rows, K) G_other table as f32 (its default
+    # "high" precision uses 3 bf16 parts — wider than f32 — and the dense
+    # head consumes raw f32 values, so per-step decomposition stays).
+    # The Gaussian augmented table [m | b | tri(V+mm^T)] (K + 1 + K(K+1)/2
+    # lanes) now rotates PRE-DECOMPOSED bf16 parts (tp_blocked.ring_stats,
+    # round 5): bytes/row = 2 * (p_mb*(K+1) + p_A*tri) instead of
+    # 4 * (K+1+tri).
     widths = {"hpf": K, "gaussian_bias": K + 1 + K * (K + 1) // 2}
+    tri = K * (K + 1) // 2
+    _FACTOR_PARTS = {"fast": (1, 1), "mid": (2, 1), "high": (2, 2)}
+    gauss_bytes_per_row = {
+        prec: 2 * (p_mb * (K + 1) + p_A * tri)
+        for prec, (p_mb, p_A) in _FACTOR_PARTS.items()
+    }
+    gauss_bytes_per_row["f32_r04"] = 4 * (K + 1 + tri)
 
     report = {"tag": args.tag,
               "scale": {"n_users": args.n_users, "n_items": args.n_items,
@@ -191,18 +203,26 @@ def main(argv=None):
             st["ici_to_mxu_ratio"] = round(
                 st["ici_seconds"] / max(st["mxu_seconds"], 1e-12), 3)
             entry[name] = st
-        # Gaussian table is much wider; scale the by_user ICI bytes.
-        # The Gaussian family builds HEADLESS layouts (its ring rejects
-        # a head), so its MXU time is the tail-only slot cost; in a head
-        # run this understates Gaussian tail work (the true Gaussian
-        # geometry is the --no_head artifact) — flagged in the report.
+        # Gaussian table is much wider; derive its ICI bytes from the
+        # by_user row geometry and the PRE-DECOMPOSED bf16 rotation's
+        # bytes/row per precision ("f32_r04" = the round-4 f32 rotation,
+        # kept for the before/after).  The Gaussian family builds
+        # HEADLESS layouts (its ring rejects a head), so its MXU time is
+        # the tail-only slot cost; in a head run this understates
+        # Gaussian tail work (the true Gaussian geometry is the
+        # --no_head artifact) — flagged in the report.
         gu = entry["by_user"]
-        entry["gaussian_ici_bytes_per_pass_per_chip"] = int(
-            gu["ici_bytes_per_pass_per_chip"] / max(widths["hpf"], 1)
-            * widths["gaussian_bias"])
-        entry["gaussian_ici_to_mxu_ratio"] = round(
-            entry["gaussian_ici_bytes_per_pass_per_chip"] / V5E_ICI_BPS
-            / (gu["macs_per_chip_per_pass"] / V5E_MXU_MACS), 3)
+        other_rows_pass = (gu["ici_bytes_per_pass_per_chip"]
+                           / max(widths["hpf"] * 4, 1))
+        entry["gaussian_ici_bytes_per_pass_per_chip"] = {
+            prec: int(other_rows_pass * bpr)
+            for prec, bpr in gauss_bytes_per_row.items()
+        }
+        entry["gaussian_ici_to_mxu_ratio"] = {
+            prec: round(b / V5E_ICI_BPS
+                        / (gu["macs_per_chip_per_pass"] / V5E_MXU_MACS), 3)
+            for prec, b in entry["gaussian_ici_bytes_per_pass_per_chip"].items()
+        }
         entry["gaussian_note"] = ("headless layout geometry applies "
                                   "(see the no-head artifact)"
                                   if not args.no_head else "")
@@ -236,11 +256,13 @@ def write_md(report, path):
         "hide under kernel work).",
         "",
         "| D | head edge frac u/i | occupancy u/i | dummy seg frac u/i | "
-        "eff(D) u/i | HPF ICI/MXU | Gaussian ICI/MXU | build s |",
+        "eff(D) u/i | HPF ICI/MXU | Gaussian ICI/MXU f32(r04) -> "
+        "high / mid / fast | build s |",
         "|---|---|---|---|---|---|---|---|",
     ]
     for e in report["degrees"]:
         bu, bi = e["by_user"], e["by_item"]
+        g = e["gaussian_ici_to_mxu_ratio"]
         lines.append(
             f"| {e['D']} | {bu.get('head_edge_fraction', 0):.3f} / "
             f"{bi.get('head_edge_fraction', 0):.3f} | "
@@ -249,12 +271,19 @@ def write_md(report, path):
             f"{bu['slot_scaling_efficiency']:.3f} / "
             f"{bi['slot_scaling_efficiency']:.3f} | "
             f"{bu['ici_to_mxu_ratio']:.2f} | "
-            f"{e['gaussian_ici_to_mxu_ratio']:.2f} | "
+            f"{g['f32_r04']:.2f} -> {g['high']:.2f} / {g['mid']:.2f} / "
+            f"{g['fast']:.2f} | "
             f"{e['build_seconds']} |")
     lines += [
         "",
         "Expected per-chip rate at degree D ~ measured D=1 rate "
         "(bench detail `tp`) x eff(D) while ICI/MXU stays <= 1.",
+        "",
+        "The Gaussian ring rotates its augmented table PRE-DECOMPOSED to "
+        "the kernel's bf16 parts (round 5, exactly equivalent math): "
+        "bytes/row drop from 4*(K+1+tri) to 2*(p_mb*(K+1) + p_A*tri) — "
+        "1.83x fewer at 'mid', 2x at 'fast', parity at 'high' (2+2 "
+        "parts).",
     ]
     if any(e.get("gaussian_note") for e in report["degrees"]):
         lines += [

@@ -83,6 +83,62 @@ def test_blocked_gradients_match_autodiff():
                                    rtol=2e-4, atol=2e-5, err_msg=k)
 
 
+@pytest.mark.parametrize("mix", [3, 4])
+def test_mixed_step_equals_full_batch(mix):
+    """A composed Adam step over ``mix`` segments whose union is the whole
+    edge set (mix=4 includes a dummy padding segment) must equal the flat
+    full-batch step — gradient accumulation across mixed segments is
+    exact, dummies contribute nothing."""
+    import optax
+
+    from pmf_tpu.models import hpf_map
+    from pmf_tpu.models.hpf_map import (
+        batch_loss, build_map_layout, init_params, train_epoch_blocked,
+        _permute_rows,
+    )
+
+    u, i, x, n_users, n_items = _data(nnz=5000)
+    cfg = hpf_map.HPFMapConfig(n_factors=6, random_state=0, lr=0.01,
+                               verbose=False)
+    scal = (cfg.a, cfg.a_prime, cfg.b_prime, cfg.c, cfg.c_prime, cfg.d_prime)
+
+    # 3 real segments of 16 chunks each (one 512-row block, ~40 real
+    # chunks padded to 48); mix=3 -> exactly one composed step, mix=4 ->
+    # one dummy segment appended.
+    lay = build_map_layout(u, i, x, n_users, n_items,
+                           batch_size=mix * 2048, mix=mix,
+                           dtype=np.float32)
+    assert lay.n_segments == mix
+
+    params = init_params(n_users, n_items, cfg)
+    params = jax.tree.map(lambda t: t.astype(jnp.float32), params)
+    uc = np.bincount(u, minlength=n_users)
+    ic = np.bincount(i, minlength=n_items)
+    user_scale = jnp.asarray(1.0 / (uc + 1e-6), jnp.float32)
+    item_scale = jnp.asarray(1.0 / (ic + 1e-6), jnp.float32)
+
+    mask = jnp.ones(len(u), bool)
+    _, grads_ref = jax.value_and_grad(batch_loss)(
+        params, jnp.asarray(u), jnp.asarray(i),
+        jnp.asarray(x, jnp.float32), mask, user_scale, item_scale, scal)
+    opt = optax.adam(cfg.lr)
+    upd, _ = opt.update(grads_ref, opt.init(params), params)
+    p_ref = optax.apply_updates(params, upd)
+
+    p_blk, s_blk = _permute_rows(params, opt.init(params),
+                                 lay.u_old_of_new, lay.i_old_of_new)
+    p_out, s_out, _ = train_epoch_blocked(
+        p_blk, s_blk, jax.random.key(0), lay,
+        user_scale[lay.u_old_of_new], item_scale[lay.i_old_of_new],
+        scal, opt, precision="highest", interpret=True, mix=mix)
+    p_out, _ = _permute_rows(p_out, s_out, lay.u_new_of_old,
+                             lay.i_new_of_old)
+    for k in ("user", "item"):
+        np.testing.assert_allclose(np.asarray(p_out[k]),
+                                   np.asarray(p_ref[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
 def test_blocked_fit_converges_like_flat(small_splits):
     """Full facade fit with engine='blocked_mid': the best-over-epochs
     val RMSE lands within the MAP stochastic band of the flat engine's.

@@ -342,3 +342,99 @@ def test_recommend_sharded_pinned_cap():
     with pytest.raises(ValueError, match="pinned cap"):
         recommend_sharded(theta, beta, users, k=5, train_index=idx,
                           mesh=mesh, batch=64, cap=4)
+
+
+def test_sampled_ranking_matches_bruteforce():
+    """Sampled-negatives protocol: given the seed-determined candidate
+    sets, ranks must equal a brute-force numpy computation, negatives
+    must exclude train items and the target, and metrics must be
+    deterministic in the seed."""
+    from pmf_tpu.eval.ranking import sampled_ranking_metrics
+
+    rng = np.random.default_rng(1)
+    n_users, n_items, K = 30, 200, 4
+    theta = rng.standard_normal((n_users, K)).astype(np.float32)
+    beta = rng.standard_normal((n_items, K)).astype(np.float32)
+    train_u, train_i, test_u, test_i = [], [], [], []
+    for u in range(n_users):
+        items = rng.choice(n_items, size=30, replace=False)
+        train_u += [u] * 28
+        train_i += list(items[:28])
+        test_u += [u]
+        test_i += [items[28]]
+    train_u, train_i = np.array(train_u), np.array(train_i)
+    test_u, test_i = np.array(test_u), np.array(test_i)
+
+    got = sampled_ranking_metrics(theta, beta, train_u, train_i,
+                                  test_u, test_i, n_negatives=50, seed=7,
+                                  ks=(10,), batch=11)
+    again = sampled_ranking_metrics(theta, beta, train_u, train_i,
+                                    test_u, test_i, n_negatives=50, seed=7,
+                                    ks=(10,), batch=64)
+    assert got == again  # deterministic in seed, batch-size independent
+
+    # Reproduce the candidate sets with the same RNG protocol and verify
+    # the exclusion property + brute-force ranks.
+    n_neg = 50
+    train_keys = np.sort(train_u.astype(np.int64) * n_items + train_i)
+
+    def is_seen(users, items):
+        keys = users * n_items + items
+        pos = np.minimum(np.searchsorted(train_keys, keys),
+                         len(train_keys) - 1)
+        return train_keys[pos] == keys
+
+    r2 = np.random.default_rng(7)
+    cands = r2.integers(0, n_items, size=(len(test_u), n_neg), dtype=np.int64)
+    users_b = np.broadcast_to(test_u[:, None].astype(np.int64), cands.shape)
+    bad = is_seen(users_b.ravel(), cands.ravel()).reshape(cands.shape)
+    bad |= cands == test_i[:, None]
+    while bad.any():
+        redraw = r2.integers(0, n_items, size=int(bad.sum()), dtype=np.int64)
+        cands[bad] = redraw
+        bu = np.broadcast_to(test_u[:, None].astype(np.int64), cands.shape)[bad]
+        still = is_seen(bu, redraw) | (
+            redraw == test_i[:, None].repeat(n_neg, 1)[bad])
+        nb = np.zeros_like(bad)
+        nb[bad] = still
+        bad = nb
+    assert not is_seen(users_b.ravel(), cands.ravel()).any()
+    assert not (cands == test_i[:, None]).any()
+
+    scores = theta @ beta.T
+    t = scores[test_u, test_i]
+    neg_scores = scores[test_u[:, None], cands]
+    ranks = 1.0 + (neg_scores > t[:, None]).sum(1)
+    hit = ranks <= 10
+    assert abs(got["mean_rank"] - ranks.mean()) < 1e-5
+    assert abs(got["hr@10"] - hit.mean()) < 1e-9
+    assert abs(got["ndcg@10"]
+               - np.where(hit, 1.0 / np.log2(ranks + 1), 0.0).mean()) < 1e-6
+
+
+def test_sampled_ranking_perfect_and_random():
+    """A model that scores the held-out item above everything must get
+    HR@10 = NDCG@10 = 1; random scores must land near the protocol's
+    analytic floor (NDCG@10 ~ 0.045 at 100 negatives)."""
+    from pmf_tpu.eval.ranking import sampled_ranking_metrics
+
+    rng = np.random.default_rng(3)
+    n_users, n_items, K = 400, 500, 3
+    test_u = np.arange(n_users)
+    test_i = rng.integers(0, n_items, n_users)
+    beta = rng.standard_normal((n_items, K)).astype(np.float32)
+    beta /= np.linalg.norm(beta, axis=1, keepdims=True)  # unit rows:
+    # cos similarity peaks uniquely at the target itself.
+    theta_perfect = beta[test_i]
+    perfect = sampled_ranking_metrics(
+        theta_perfect, beta, np.array([], np.int64), np.array([], np.int64),
+        test_u, test_i, n_negatives=100, seed=0)
+    assert perfect["hr@10"] > 0.99
+    assert perfect["ndcg@10"] > 0.99
+
+    theta_rand = rng.standard_normal((n_users, K)).astype(np.float32)
+    rand = sampled_ranking_metrics(
+        theta_rand, beta, np.array([], np.int64), np.array([], np.int64),
+        test_u, test_i, n_negatives=100, seed=0)
+    assert 0.02 < rand["ndcg@10"] < 0.09
+    assert 0.05 < rand["hr@10"] < 0.16
