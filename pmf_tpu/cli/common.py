@@ -47,6 +47,18 @@ def setup_runtime() -> None:
         except Exception:
             pass
     setup_cache()
+    # Layout disk cache (pmf_tpu.data.layout_cache): blocked/TP layouts
+    # are pure functions of (data, geometry), so the tune -> compare ->
+    # train sequence reloads instead of rebuilding (~27 s single-chip /
+    # minutes TP at 25M edges).  Same default root as the compile cache;
+    # PMF_TPU_LAYOUT_CACHE= (empty) disables.
+    if "PMF_TPU_LAYOUT_CACHE" not in os.environ:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        cache_root = os.environ.get(
+            "PMF_TPU_CACHE_DIR", os.path.join(repo_root, ".jax_cache"))
+        os.environ["PMF_TPU_LAYOUT_CACHE"] = os.path.join(
+            cache_root, "layouts")
 
 
 def add_data_args(parser: argparse.ArgumentParser) -> None:

@@ -172,8 +172,16 @@ def fit_one(name, splits, max_iter, K, verbose):
         # activity factors with a0=0.6 from the reference's E[rate]
         # back-of-envelope (`run_poisson_mf_extended.py:15-33`).
         ext = name.endswith("extended")
+        # PMF_TPU_CONVERGED_POISSON_TOL="none" disables early stopping
+        # (fixed-iteration plateau run): the reference's Poisson stop
+        # rule fires on ANY improvement < tol including regressions
+        # (`poisson_mf_cavi.py:213`), and the extended model's
+        # Gauss-Seidel scalars plateau within ~3 sweeps on planted data,
+        # which leaves a thin trajectory record.
+        tol_env = os.environ.get("PMF_TPU_CONVERGED_POISSON_TOL", "1e-5")
+        tol = None if tol_env.lower() == "none" else float(tol_env)
         cfg = PoissonMFConfig(n_factors=K, a0=0.6 if ext else 0.3, b0=1.0,
-                              max_iter=max_iter, tol=1e-5, extended=ext,
+                              max_iter=max_iter, tol=tol, extended=ext,
                               verbose=verbose)
         model = PoissonMF(cfg)
         model.fit((tu, ti, tx), (vu, vi, vx))
